@@ -22,17 +22,20 @@ Design (TPU-first, not a translation):
 """
 
 from pyqmd_tpu.config import SimConfig
-from pyqmd_tpu.state import NucleusState
-from pyqmd_tpu.core.init import init_state
-from pyqmd_tpu.core.step import simulate_frame, ensemble_step
+from pyqmd_tpu.state import NucleusState, empty_state
+from pyqmd_tpu.core.init import ensemble_init, init_state
+from pyqmd_tpu.core.step import ensemble_step, make_frame_fn, simulate_frame
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "SimConfig",
     "NucleusState",
+    "empty_state",
     "init_state",
+    "ensemble_init",
     "simulate_frame",
     "ensemble_step",
+    "make_frame_fn",
     "__version__",
 ]

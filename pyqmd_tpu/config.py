@@ -34,11 +34,22 @@ class SimConfig:
     max_particles: int = 256
     # Ejecta ring-buffer capacity per nucleus.
     max_ejecta: int = 64
+    # Decay-chain event-log ring capacity (reference keeps an unbounded
+    # list, nuclear_sim.py:271-278).
+    max_chain_log: int = 64
+    # Ejecta slots written per decay event (fission emits 2-3 fragments,
+    # decay_chains.py:373-388; every other mode emits 1).
+    max_ejecta_per_event: int = 3
 
     # Integration (nuclear_sim.py:59, 63, 62).
     physics_dt: float = 1.0 / 240.0
     max_substeps: int = 20
     accuracy: float = 1.0  # effective dt = physics_dt * (2 - accuracy)
+
+    # Force backend: "jnp" (XLA-fused broadcast, always available) or
+    # "pallas" (the fused Mosaic kernel — the native-code equivalent of the
+    # reference's embedded OpenCL kernel, nuclear_forces.py:57-173).
+    force_backend: str = "jnp"
 
     # Force strengths (nuclear_forces.py:13-15). gravity/weak are declared
     # in the reference but never used (nuclear_forces.py:16-17) — omitted.
@@ -66,6 +77,13 @@ class SimConfig:
     # Overlap resolution (nuclear_sim.py:355-379).
     overlap_min_dist: float = 5.0
     overlap_iterations: int = 1
+
+    # Ejecta animation (nuclear_sim.py:178-203): fixed animation timestep
+    # and speed scale for time-scale-independent visuals, plus the base
+    # lifetime used by the decay handler (nuclear_sim.py:316).
+    animation_dt: float = 1.0 / 240.0
+    ejecta_speed_scale: float = 0.3
+    base_ejecta_lifetime: float = 5.0
 
     # World-space spawn point of the nucleus (nuclear_sim.py:93).
     origin_x: float = 400.0

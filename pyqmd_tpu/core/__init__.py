@@ -1,0 +1,39 @@
+"""Core simulation engine: init, forces, decay, overlap, step."""
+
+from pyqmd_tpu.core.decay import (
+    apply_decay,
+    decay_probability,
+    force_decay,
+    maybe_decay,
+)
+from pyqmd_tpu.core.dynamics import FrameDynamics
+from pyqmd_tpu.core.forces import compute_forces, force_step, force_step_scalar
+from pyqmd_tpu.core.init import ensemble_init, init_state, placement_order
+from pyqmd_tpu.core.overlap import resolve_overlaps
+from pyqmd_tpu.core.step import (
+    advance_ejecta,
+    ensemble_step,
+    make_frame_fn,
+    simulate_frame,
+    substep,
+)
+
+__all__ = [
+    "FrameDynamics",
+    "advance_ejecta",
+    "apply_decay",
+    "compute_forces",
+    "decay_probability",
+    "ensemble_init",
+    "ensemble_step",
+    "force_decay",
+    "force_step",
+    "force_step_scalar",
+    "init_state",
+    "make_frame_fn",
+    "maybe_decay",
+    "placement_order",
+    "resolve_overlaps",
+    "simulate_frame",
+    "substep",
+]

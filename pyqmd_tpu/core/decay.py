@@ -1,0 +1,255 @@
+"""In-step radioactive-decay engine.
+
+Everything the reference does across ``Nucleus.should_decay``
+(/root/reference/particles.py:126-147), ``get_decay_product``
+(/root/reference/decay_chains.py:203-245), ``Nucleus.adjust_particles``
+(/root/reference/particles.py:149-203) and ``handle_decay``
+(/root/reference/nuclear_sim.py:212-353) — reformulated as masked,
+static-shape state transitions inside the jit-compiled step:
+
+  * the Bernoulli decay draw uses counter-based ``jax.random`` instead of
+    ``random.random()`` (reproducible across an ensemble),
+  * branch selection is a table gather (:mod:`pyqmd_tpu.data.tables`),
+  * alpha / nucleon-emission remove the lowest-indexed alive nucleons via
+    rank masks instead of list surgery; beta flips mutate one type in place,
+  * ejecta are written into a fixed ring buffer with per-type speeds and the
+    reference's time-scale-compensated lifetimes,
+  * decay counters are *actually incremented* (fixing the reference bug
+    where ``decay_counts`` is displayed but never written, SURVEY §2 C15),
+  * each event appends to a chain-log ring with the measured-or-synthetic
+    duration record of nuclear_sim.py:239-255.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyqmd_tpu.config import SimConfig
+from pyqmd_tpu.core.dynamics import FrameDynamics
+from pyqmd_tpu.data import tables
+from pyqmd_tpu.state import (
+    ALPHA,
+    BASE_LIFETIMES,
+    DECAY_ALPHA,
+    DECAY_BETA_MINUS,
+    DECAY_BETA_PLUS,
+    DECAY_GAMMA,
+    DECAY_NEUTRON_EMISSION,
+    DECAY_NONE,
+    DECAY_PROTON_EMISSION,
+    DECAY_SPONTANEOUS_FISSION,
+    EJECTA_SPEEDS,
+    ELECTRON,
+    GAMMA,
+    NEUTRON,
+    POSITRON,
+    PROTON,
+    NucleusState,
+)
+
+LN2_REF = 0.693  # the reference's truncated ln(2) (particles.py:140)
+
+# Ejecta particle type emitted per decay mode (decay_chains.py:235-243 and
+# the create_* factories at :331-371). Fission is handled separately.
+_DECAY_EJECTA_TYPE = np.array(
+    [0, ALPHA, ELECTRON, POSITRON, GAMMA, NEUTRON, PROTON, ALPHA], np.int32
+)
+
+# Nucleons removed per decay mode: (protons, neutrons) (particles.py:155-177).
+_REMOVE_P = np.array([0, 2, 0, 0, 0, 0, 1, 0], np.int32)
+_REMOVE_N = np.array([0, 2, 0, 0, 0, 1, 0, 0], np.int32)
+
+# Modes whose adjust_particles path applies the 0.8 velocity damping
+# (particles.py:200-203; the beta branches return before it, :158-171).
+_APPLIES_DAMPING = np.array([0, 1, 0, 0, 0, 1, 1, 0], bool)
+
+
+def decay_probability(half_life, dt):
+    """Dual-regime decay probability (particles.py:126-147).
+
+    Exact ``1 - 0.5**(dt/T)`` when dt is large relative to the half-life,
+    linearized ``0.693/T * dt`` otherwise, clamped to [0, 1]; stable nuclei
+    (T = inf) never decay.
+    """
+    hl = jnp.maximum(half_life, 1e-30)
+    big = 1.0 - jnp.exp2(-dt / hl)
+    small = LN2_REF / hl * dt
+    p = jnp.where(dt > hl * 0.01, big, small)
+    p = jnp.clip(p, 0.0, 1.0)
+    return jnp.where(jnp.isinf(half_life), 0.0, p)
+
+
+def ejecta_lifetime(frag_type, dyn: FrameDynamics, cfg: SimConfig):
+    """Ejecta lifetime with the reference's time-scale/substep/dt
+    compensation (nuclear_sim.py:315-342)."""
+    base = cfg.base_ejecta_lifetime
+    ts, ss, pdt = dyn.time_scale, dyn.substeps, dyn.physics_dt
+    # Fast-time branch (ts > 1).
+    tf = jnp.maximum(1.0, ts / 100.0)
+    sf = jnp.maximum(1.0, jnp.sqrt(ss))
+    df = jnp.maximum(1.0, 0.016 / pdt)
+    fast = jnp.maximum(base * sf, base * tf * sf * df)
+    fast = jnp.where(ss > 15.0, fast * (ss / 15.0), fast)
+    # Slow/real-time branch: at least the per-type base lifetime.
+    type_base = jnp.asarray(BASE_LIFETIMES)[frag_type]
+    slow = jnp.maximum(type_base, base * jnp.maximum(1.0, ss / 5.0))
+    return jnp.where(ts > 1.0, fast, slow)
+
+
+def _first_rank_masks(state: NucleusState):
+    """Per-slot rank among alive protons / neutrons (lowest index = rank 0),
+    the masked equivalent of the reference's first-in-list scans
+    (particles.py:158-189)."""
+    alive_p = state.alive & (state.ptype == PROTON)
+    alive_n = state.alive & (state.ptype == NEUTRON)
+    prank = jnp.cumsum(alive_p.astype(jnp.int32)) - 1
+    nrank = jnp.cumsum(alive_n.astype(jnp.int32)) - 1
+    return alive_p, alive_n, prank, nrank
+
+
+def apply_decay(
+    state: NucleusState,
+    cfg: SimConfig,
+    key: jax.Array,
+    did: jax.Array,
+    dyn: FrameDynamics,
+) -> tuple[NucleusState, jax.Array]:
+    """Apply one (possibly suppressed) decay event; returns (state, dtype).
+
+    ``did`` is a traced bool — the whole transition is computed and masked,
+    the idiomatic replacement for the reference's host-side ``if`` at
+    nuclear_sim.py:166-167. The returned ``dtype`` is DECAY_NONE when no
+    event fired.
+    """
+    k_branch, k_dur, k_hl, k_ang, k_nfrag, k_ftype = jax.random.split(key, 6)
+
+    new_z, new_n, dtype = tables.sample_branch(
+        state.z, state.n, jax.random.uniform(k_branch)
+    )
+    eff = did & (dtype != DECAY_NONE)
+    effi = eff.astype(jnp.int32)
+    efff = eff.astype(jnp.float32)
+
+    # --- chain-record duration: measured sim time since the last decay, or
+    # an Exp(T/ln2)-distributed synthetic draw when it rounds to zero
+    # (nuclear_sim.py:239-255).
+    measured = state.time_passed - state.last_decay_time
+    hl = state.half_life
+    hl_safe = jnp.where(jnp.isinf(hl), 1.0, hl)
+    rand_factor = -jnp.log(jnp.maximum(jax.random.uniform(k_dur), 1e-20))
+    alt = jnp.where(measured > 0.0, measured, hl_safe)
+    synth = jnp.minimum(hl_safe * rand_factor / LN2_REF, alt)
+    synth = jnp.where(jnp.isinf(hl), 0.0, synth)
+    duration = jnp.where((measured < 0.001) | (hl < 0.001), synth, measured)
+
+    slot = state.chain_cursor % cfg.max_chain_log
+
+    def masked_set(arr, value):
+        return arr.at[slot].set(jnp.where(eff, value, arr[slot]))
+
+    # --- nucleon adjustment (particles.py:149-203).
+    alive_p, alive_n, prank, nrank = _first_rank_masks(state)
+    rm_p = jnp.asarray(_REMOVE_P)[dtype]
+    rm_n = jnp.asarray(_REMOVE_N)[dtype]
+    kill = (alive_p & (prank < rm_p)) | (alive_n & (nrank < rm_n))
+    new_alive = state.alive & ~(kill & eff)
+
+    flip_to_p = eff & (dtype == DECAY_BETA_MINUS) & alive_n & (nrank == 0)
+    flip_to_n = eff & (dtype == DECAY_BETA_PLUS) & alive_p & (prank == 0)
+    new_ptype = jnp.where(flip_to_p, PROTON, state.ptype)
+    new_ptype = jnp.where(flip_to_n, NEUTRON, new_ptype)
+
+    damp = eff & jnp.asarray(_APPLIES_DAMPING)[dtype]
+    new_vel = jnp.where(damp, state.vel * cfg.decay_damping, state.vel)
+
+    # --- ejecta spawn at the post-adjustment center of mass
+    # (nuclear_sim.py:290-294 updates CoM before creating products).
+    w = new_alive.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(w), 1.0)
+    com = jnp.sum(state.pos * w[:, None], axis=0) / cnt
+
+    k_e = cfg.max_ejecta_per_event
+    is_fission = dtype == DECAY_SPONTANEOUS_FISSION
+    # randint(2, 3) inclusive (decay_chains.py:377).
+    nfrag_fission = 2 + jax.random.bernoulli(k_nfrag).astype(jnp.int32)
+    nfrag = jnp.where(is_fission, nfrag_fission, 1)
+    frag_idx = jnp.arange(k_e)
+    frag_active = eff & (frag_idx < nfrag)
+
+    # Fragment types: fixed per decay mode; fission fragments are alpha with
+    # p=0.7 else neutron (decay_chains.py:383-388).
+    u_ft = jax.random.uniform(k_ftype, (k_e,))
+    fission_type = jnp.where(u_ft < 0.7, ALPHA, NEUTRON)
+    frag_type = jnp.where(is_fission, fission_type, jnp.asarray(_DECAY_EJECTA_TYPE)[dtype])
+
+    # Velocity: random angle, renormalized to the per-type base speed —
+    # the reference normalizes each creator velocity to a fixed base speed
+    # (nuclear_sim.py:296-313), so only the random direction survives.
+    angles = jax.random.uniform(k_ang, (k_e,), maxval=2.0 * jnp.pi)
+    speed = jnp.asarray(EJECTA_SPEEDS)[frag_type]
+    frag_vel = speed[:, None] * jnp.stack([jnp.cos(angles), jnp.sin(angles)], -1)
+    frag_life = ejecta_lifetime(frag_type, dyn, cfg)
+
+    e_cap = cfg.max_ejecta
+    eslots = (state.ej_cursor + frag_idx) % e_cap
+
+    def ej_set(arr, value):
+        cur = arr[eslots]
+        shaped = jnp.broadcast_to(value, cur.shape)
+        mask = frag_active
+        if cur.ndim > 1:
+            mask = mask[:, None]
+        return arr.at[eslots].set(jnp.where(mask, shaped, cur))
+
+    # --- daughter identity + half-life + metrics.
+    z2 = jnp.where(eff, new_z, state.z).astype(jnp.int32)
+    n2 = jnp.where(eff, new_n, state.n).astype(jnp.int32)
+    hl2 = jnp.where(
+        eff, tables.half_life(new_z, new_n, jax.random.uniform(k_hl)), hl
+    )
+
+    new_state = state.replace(
+        vel=new_vel,
+        ptype=new_ptype,
+        alive=new_alive,
+        z=z2,
+        n=n2,
+        half_life=hl2,
+        ej_pos=ej_set(state.ej_pos, com[None, :]),
+        ej_vel=ej_set(state.ej_vel, frag_vel),
+        ej_type=ej_set(state.ej_type, frag_type),
+        ej_age=ej_set(state.ej_age, jnp.zeros((k_e,), jnp.float32)),
+        ej_life=ej_set(state.ej_life, frag_life),
+        ej_alive=ej_set(state.ej_alive, jnp.ones((k_e,), bool)),
+        ej_cursor=state.ej_cursor + jnp.sum(frag_active.astype(jnp.int32)),
+        decay_counts=state.decay_counts.at[dtype].add(effi),
+        last_decay_time=jnp.where(eff, state.time_passed, state.last_decay_time),
+        chain_z0=masked_set(state.chain_z0, state.z),
+        chain_n0=masked_set(state.chain_n0, state.n),
+        chain_dtype=masked_set(state.chain_dtype, dtype),
+        chain_z1=masked_set(state.chain_z1, new_z),
+        chain_n1=masked_set(state.chain_n1, new_n),
+        chain_time=masked_set(state.chain_time, duration * efff),
+        chain_cursor=state.chain_cursor + effi,
+    )
+    return new_state, jnp.where(eff, dtype, DECAY_NONE)
+
+
+def maybe_decay(
+    state: NucleusState, cfg: SimConfig, key: jax.Array, dyn: FrameDynamics
+) -> tuple[NucleusState, jax.Array]:
+    """Bernoulli decay check for one substep (nuclear_sim.py:164-167)."""
+    k_bern, k_apply = jax.random.split(key)
+    p = decay_probability(state.half_life, dyn.step_time)
+    did = jax.random.uniform(k_bern) < p
+    return apply_decay(state, cfg, k_apply, did, dyn)
+
+
+def force_decay(
+    state: NucleusState, cfg: SimConfig, key: jax.Array, dyn: FrameDynamics
+) -> tuple[NucleusState, jax.Array]:
+    """Unconditional decay — the SPACE-key fault-injection hook
+    (nuclear_sim.py:433-434)."""
+    return apply_decay(state, cfg, key, jnp.asarray(True), dyn)

@@ -1,0 +1,147 @@
+"""Nucleus initialization: magic-number shell placement.
+
+Behavioral port of the reference initializer
+(/root/reference/particles.py:62-124): nucleons are placed on shells with
+capacities [2, 8, 20, 28, 50, 82, 126] inside radius
+``1.2 * A^(1/3) * 0.7``, alternating proton/neutron pairs per shell then
+remainders, each placement choosing the best of 20 random angles by
+maximizing the minimum distance to already-placed same-type nucleons.
+
+TPU-first departures: the placement *order* (which shell, which type, per
+particle index) is a pure function of (Z, N) computed once on host as a
+static array; the sequential best-of-20 search runs as a ``lax.fori_loop``
+whose candidate scoring is a vectorized (20, P) distance computation — and
+the whole initializer vmaps over an ensemble batch of PRNG keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pyqmd_tpu.config import SimConfig
+from pyqmd_tpu.data import tables
+from pyqmd_tpu.state import DECAY_NONE, NEUTRON, PROTON, NucleusState, empty_state
+
+SHELL_CAPACITY = (2, 8, 20, 28, 50, 82, 126)
+
+
+def placement_order(z: int, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static placement plan: (shell_index, is_proton) per particle index.
+
+    Mirrors the shell-filling loop at particles.py:105-124: proton/neutron
+    pairs per shell up to half the shell capacity, shell index advancing and
+    clamping at the last shell, then proton remainders, then neutron
+    remainders.
+    """
+    last = len(SHELL_CAPACITY) - 1
+    order: list[tuple[int, bool]] = []
+    pp = pn = 0
+    si = 0
+    while pp < z and pn < n:
+        size = SHELL_CAPACITY[min(si, last)]
+        pairs = min(size // 2, min(z - pp, n - pn))
+        for _ in range(pairs):
+            order.append((min(si, last), True))
+            pp += 1
+            order.append((min(si, last), False))
+            pn += 1
+        si += 1
+        if si > last:
+            si = last
+    while pp < z:
+        order.append((min(si, last), True))
+        pp += 1
+    while pn < n:
+        order.append((min(si, last), False))
+        pn += 1
+    shell_idx = np.array([s for s, _ in order], np.int32)
+    is_proton = np.array([p for _, p in order], bool)
+    return shell_idx, is_proton
+
+
+def _init_from_key(cfg: SimConfig, key: jax.Array) -> NucleusState:
+    a = cfg.z + cfg.n
+    p = cfg.max_particles
+    if a > p:
+        raise ValueError(f"A={a} exceeds max_particles={p}")
+
+    shell_idx, is_proton = placement_order(cfg.z, cfg.n)
+    # Shell radii (particles.py:64-68): A^(1/3) scaling, 7 evenly spaced shells.
+    nuclear_radius = 1.2 * a ** (1.0 / 3.0)
+    initial_radius = nuclear_radius * 0.7
+    n_shells = len(SHELL_CAPACITY)
+    shell_radii = initial_radius * (np.arange(n_shells) + 1) / n_shells
+    base_radius = jnp.asarray(
+        np.pad(shell_radii[shell_idx].astype(np.float32), (0, p - a))
+    )
+    ptype = jnp.asarray(
+        np.pad(np.where(is_proton, PROTON, NEUTRON).astype(np.int32), (0, p - a))
+    )
+    origin = jnp.array([cfg.origin_x, cfg.origin_y], jnp.float32)
+    slot = jnp.arange(p)
+
+    key, place_key, hl_key, state_key = jax.random.split(key, 4)
+
+    def place_one(i, carry):
+        pos, k = carry
+        k, kr, ka = jax.random.split(k, 3)
+        # Radius jitter 0.8-1.0x the shell radius (particles.py:75).
+        radius = base_radius[i] * (0.8 + 0.2 * jax.random.uniform(kr))
+        angles = jax.random.uniform(ka, (20,), maxval=2.0 * jnp.pi)
+        cand = origin[None, :] + radius * jnp.stack(
+            [jnp.cos(angles), jnp.sin(angles)], axis=-1
+        )  # (20, 2)
+        # Min distance to already-placed same-type nucleons (particles.py:84-93).
+        same = (ptype == ptype[i]) & (slot < i)
+        d = jnp.linalg.norm(cand[:, None, :] - pos[None, :, :], axis=-1)
+        dmin = jnp.min(jnp.where(same[None, :], d, jnp.inf), axis=1)
+        # Best-of-20 argmax; when no same-type nucleon exists yet the
+        # reference's `min_dist == inf` check makes the *last* candidate win
+        # (particles.py:91-93) — replicate that tie behavior.
+        sel = jnp.where(jnp.all(jnp.isinf(dmin)), 19, jnp.argmax(dmin))
+        return pos.at[i].set(cand[sel]), k
+
+    pos0 = jnp.broadcast_to(origin, (p, 2))
+    pos, _ = jax.lax.fori_loop(0, a, place_one, (pos0, place_key))
+
+    st = empty_state(cfg)
+    hl = tables.half_life(
+        jnp.asarray(cfg.z), jnp.asarray(cfg.n), jax.random.uniform(hl_key)
+    )
+    # Seed the chain log with the initial-isotope entry (nuclear_sim.py:100-113).
+    return st.replace(
+        pos=pos,
+        ptype=ptype,
+        alive=slot < a,
+        z=jnp.asarray(cfg.z, jnp.int32),
+        n=jnp.asarray(cfg.n, jnp.int32),
+        half_life=hl,
+        rng=jax.random.key_data(state_key).astype(jnp.uint32),
+        chain_z0=st.chain_z0.at[0].set(cfg.z),
+        chain_n0=st.chain_n0.at[0].set(cfg.n),
+        chain_dtype=st.chain_dtype.at[0].set(DECAY_NONE),
+        chain_z1=st.chain_z1.at[0].set(cfg.z),
+        chain_n1=st.chain_n1.at[0].set(cfg.n),
+        chain_cursor=jnp.asarray(1, jnp.int32),
+    )
+
+
+def init_state(cfg: SimConfig, seed: int = 0, key: jax.Array | None = None) -> NucleusState:
+    """Build one initialized nucleus (U-238 by default, nuclear_sim.py:90)."""
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    return _init_from_key(cfg, key)
+
+
+def ensemble_init(cfg: SimConfig, batch: int, seed: int = 0) -> NucleusState:
+    """Build a batch of independently-seeded nuclei: the P1 ensemble axis.
+
+    The reference supports exactly one nucleus per process
+    (nuclear_sim.py:48, 92-93); here the ensemble is a vmapped leading axis
+    ready to shard over a device mesh.
+    """
+    keys = jax.random.split(jax.random.PRNGKey(seed), batch)
+    return jax.vmap(lambda k: _init_from_key(cfg, k))(keys)

@@ -1,0 +1,177 @@
+"""The simulation step: substeps under ``lax.scan`` inside one jit.
+
+This is the TPU-native equivalent of the reference's frame update
+(/root/reference/nuclear_sim.py:118-176), which per substep (up to 20 per
+frame) runs a host loop over ejecta, a host-side decay Bernoulli, and a
+full host<->device round trip for the force kernel
+(nuclear_forces.py:190-234). Here one compiled XLA program advances ejecta,
+samples decays, and integrates forces for *all* substeps, then resolves
+overlaps — no host transfer anywhere. The ensemble version is the same
+function under ``vmap``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pyqmd_tpu.config import SimConfig
+from pyqmd_tpu.core import forces as _forces
+from pyqmd_tpu.core.decay import maybe_decay
+from pyqmd_tpu.core.dynamics import FrameDynamics
+from pyqmd_tpu.core.overlap import resolve_overlaps
+from pyqmd_tpu.state import ALPHA, NucleusState
+
+
+def select_force_step(cfg: SimConfig):
+    """Pick the force backend (reference GPU-or-CPU dispatch analog,
+    nuclear_sim.py:169-173)."""
+    if cfg.force_backend == "pallas":
+        from pyqmd_tpu.kernels.forces_pallas import force_step_pallas
+
+        return force_step_pallas
+    if cfg.force_backend == "jnp":
+        return _forces.force_step
+    raise ValueError(f"unknown force backend {cfg.force_backend!r}")
+
+
+def advance_ejecta(state: NucleusState, cfg: SimConfig, dyn: FrameDynamics) -> NucleusState:
+    """Ejecta advection + aging + expiry (nuclear_sim.py:178-210).
+
+    Animated decay products (alpha/e-/gamma/e+) move at a fixed animation
+    timestep with substep-compensated speed and age with the reference's
+    time-scale-damped rate; emitted nucleons advect with
+    ``dt * sqrt(time_scale)`` and never expire.
+    """
+    is_anim = state.ej_type >= ALPHA  # alpha/electron/gamma/positron
+    substep_factor = 10.0 / jnp.maximum(1.0, dyn.substeps)
+    anim_step = cfg.animation_dt * cfg.ejecta_speed_scale * substep_factor
+    nucleon_step = dyn.physics_dt * jnp.sqrt(dyn.time_scale)
+    step = jnp.where(is_anim, anim_step, nucleon_step)
+
+    live = state.ej_alive
+    new_pos = state.ej_pos + state.ej_vel * jnp.where(live, step, 0.0)[:, None]
+
+    aging_scale = jnp.minimum(
+        1.0,
+        1.0
+        / (
+            jnp.sqrt(jnp.maximum(1.0, dyn.time_scale / 100.0))
+            * jnp.sqrt(jnp.maximum(1.0, dyn.substeps / 10.0))
+        ),
+    )
+    age_inc = jnp.where(is_anim, dyn.step_time * aging_scale, dyn.step_time)
+    new_age = state.ej_age + jnp.where(live, age_inc, 0.0)
+    expired = is_anim & (new_age >= state.ej_life)
+    return state.replace(
+        ej_pos=new_pos, ej_age=new_age, ej_alive=live & ~expired
+    )
+
+
+def substep(
+    state: NucleusState, cfg: SimConfig, dyn: FrameDynamics, key: jax.Array
+) -> NucleusState:
+    """One physics substep: ejecta, decay check, force+integrate
+    (nuclear_sim.py:161-173)."""
+    state = advance_ejecta(state, cfg, dyn)
+    state, _ = maybe_decay(state, cfg, key, dyn)
+    fstep = select_force_step(cfg)
+    pos, vel = fstep(
+        state.pos, state.vel, state.ptype, state.alive, dyn.physics_dt, cfg
+    )
+    return state.replace(pos=pos, vel=vel)
+
+
+def simulate_frame(
+    state: NucleusState,
+    cfg: SimConfig,
+    time_scale,
+    frame_dt,
+    num_steps: int,
+) -> tuple[NucleusState, dict]:
+    """Advance one frame: ``num_steps`` substeps under ``lax.scan`` then
+    overlap resolution (nuclear_sim.py:118-176).
+
+    ``num_steps`` is static (the scan length); ``time_scale`` and
+    ``frame_dt`` are traced so interactive time-scale changes don't
+    recompile. Returns (new_state, metrics).
+    """
+    time_scale = jnp.asarray(time_scale, jnp.float32)
+    frame_dt = jnp.asarray(frame_dt, jnp.float32)
+    desired_dt = frame_dt * time_scale
+    # time_passed advances at frame start (nuclear_sim.py:124), so every
+    # substep's decay record sees the same frame clock.
+    state = state.replace(time_passed=state.time_passed + desired_dt)
+
+    dyn = FrameDynamics(
+        time_scale=time_scale,
+        substeps=jnp.asarray(float(num_steps), jnp.float32),
+        physics_dt=jnp.asarray(cfg.effective_dt(), jnp.float32),
+        step_time=desired_dt / num_steps,
+    )
+
+    base = jax.random.wrap_key_data(state.rng)
+    key_steps, key_overlap, key_next = jax.random.split(base, 3)
+
+    def body(st, k):
+        return substep(st, cfg, dyn, k), None
+
+    state, _ = jax.lax.scan(body, state, jax.random.split(key_steps, num_steps))
+
+    pos = resolve_overlaps(state.pos, state.alive, key_overlap, cfg)
+    state = state.replace(
+        pos=pos, rng=jax.random.key_data(key_next).astype(jnp.uint32)
+    )
+
+    metrics = {
+        "alive": state.alive_count(),
+        "z": state.z,
+        "n": state.n,
+        "half_life": state.half_life,
+        "decay_counts": state.decay_counts,
+        "time_passed": state.time_passed,
+        "com": state.center_of_mass(),
+        "chain_cursor": state.chain_cursor,
+    }
+    return state, metrics
+
+
+def ensemble_step(
+    states: NucleusState,
+    cfg: SimConfig,
+    time_scale,
+    frame_dt,
+    num_steps: int,
+) -> tuple[NucleusState, dict]:
+    """Batched frame over a leading ensemble axis (SURVEY §2 P1).
+
+    Per-nucleus metrics keep their batch axis; aggregate decay statistics
+    are summed on device so host readback is O(1) regardless of ensemble
+    size.
+    """
+    batched, metrics = jax.vmap(
+        lambda s: simulate_frame(s, cfg, time_scale, frame_dt, num_steps)
+    )(states)
+    metrics["total_decay_counts"] = jnp.sum(metrics["decay_counts"], axis=0)
+    metrics["total_alive"] = jnp.sum(metrics["alive"])
+    return batched, metrics
+
+
+@functools.lru_cache(maxsize=128)
+def make_frame_fn(cfg: SimConfig, num_steps: int, batched: bool = False):
+    """Jit-compiled frame function for a (config, substep-count) bucket.
+
+    The host driver picks ``num_steps`` per frame (nuclear_sim.py:153);
+    each distinct count compiles once and is cached (<= max_substeps
+    variants) — the idiomatic static-bucketing answer to the reference's
+    dynamic substep loop.
+    """
+    fn = ensemble_step if batched else simulate_frame
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def frame(state, time_scale, frame_dt):
+        return fn(state, cfg, time_scale, frame_dt, num_steps)
+
+    return frame

@@ -1,20 +1,35 @@
-"""Nuclear data: element names, half-life DB, decay-chain DB, and the dense
-(Z, N)-indexed device tables derived from them."""
+"""Nuclear data: half-life DB, decay chains, predictor, estimator, elements.
 
-from pyqmd_tpu.data.elements import element_symbol, element_name
-from pyqmd_tpu.data.halflives import HALF_LIVES, estimate_half_life, half_life_of
-from pyqmd_tpu.data.chains import DECAY_CHAINS, predict_decay_modes, decay_modes_of
-from pyqmd_tpu.data.tables import NuclearTables, get_tables
+Source-of-truth Python tables (halflives/chains/elements) plus their dense
+(Z, N)-indexed device form (tables) used inside the jit-compiled step.
+Reference equivalents live in /root/reference/decay_chains.py and the
+element tables in nuclear_sim.py:524-546 / rendering.py:480-526.
+"""
+
+from pyqmd_tpu.data.chains import DECAY_CHAINS, decay_branches, predict_decay
+from pyqmd_tpu.data.elements import (
+    element_name,
+    element_symbol,
+    isotope_label,
+    parse_isotope,
+)
+from pyqmd_tpu.data.estimator import estimate_half_life, stability_score
+from pyqmd_tpu.data.halflives import DAY, HALF_LIVES, HOUR, MINUTE, YEAR
+from pyqmd_tpu.data.tables import half_life, half_life_host, sample_branch
 
 __all__ = [
-    "element_symbol",
-    "element_name",
-    "HALF_LIVES",
-    "estimate_half_life",
-    "half_life_of",
     "DECAY_CHAINS",
-    "predict_decay_modes",
-    "decay_modes_of",
-    "NuclearTables",
-    "get_tables",
+    "HALF_LIVES",
+    "YEAR", "DAY", "HOUR", "MINUTE",
+    "decay_branches",
+    "predict_decay",
+    "estimate_half_life",
+    "stability_score",
+    "element_name",
+    "element_symbol",
+    "isotope_label",
+    "parse_isotope",
+    "half_life",
+    "half_life_host",
+    "sample_branch",
 ]

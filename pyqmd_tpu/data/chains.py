@@ -1,0 +1,103 @@
+"""Decay-chain database and pure decay-mode predictor.
+
+Chain coverage mirrors the reference (/root/reference/decay_chains.py:126-167):
+the full 14-step U-238 series with the Po-218 and Bi-214 branch points
+(0.9998/0.0002 splits), partial U-235 and Th-232 series, medical and
+fission-product isotopes, and the light H-3 / C-14 chains.
+
+The reference predicts modes for unlisted isotopes by *mutating the global
+dict as a cache* (decay_chains.py:169-201). Here ``predict_decay`` is a pure
+function, and the whole (tabulated + predicted) space is densified once into
+device tables by :mod:`pyqmd_tpu.data.tables`, so branch sampling happens
+inside jit with no host round trip.
+"""
+
+from __future__ import annotations
+
+from pyqmd_tpu.state import (
+    DECAY_ALPHA,
+    DECAY_BETA_MINUS,
+    DECAY_BETA_PLUS,
+    DECAY_GAMMA,
+    DECAY_NONE,
+    DECAY_PROTON_EMISSION,
+)
+
+# {(Z, N): [(new_Z, new_N, decay_type, branch_probability), ...]}
+# Branch probabilities are sampled cumulatively, first branch is the default
+# (matching decay_chains.py:221-229).
+DECAY_CHAINS: dict[tuple[int, int], list[tuple[int, int, int, float]]] = {
+    # U-238 series
+    (92, 146): [(90, 144, DECAY_ALPHA, 1.0)],            # U-238 -> Th-234
+    (90, 144): [(91, 143, DECAY_BETA_MINUS, 1.0)],       # Th-234 -> Pa-234
+    (91, 143): [(92, 142, DECAY_BETA_MINUS, 1.0)],       # Pa-234 -> U-234
+    (92, 142): [(90, 140, DECAY_ALPHA, 1.0)],            # U-234 -> Th-230
+    (90, 140): [(88, 138, DECAY_ALPHA, 1.0)],            # Th-230 -> Ra-226
+    (88, 138): [(86, 136, DECAY_ALPHA, 1.0)],            # Ra-226 -> Rn-222
+    (86, 136): [(84, 134, DECAY_ALPHA, 1.0)],            # Rn-222 -> Po-218
+    (84, 134): [(82, 132, DECAY_ALPHA, 0.9998),          # Po-218 -> Pb-214
+                (83, 133, DECAY_BETA_PLUS, 0.0002)],     # Po-218 -> At-218
+    (82, 132): [(83, 131, DECAY_BETA_MINUS, 1.0)],       # Pb-214 -> Bi-214
+    (83, 131): [(84, 130, DECAY_BETA_MINUS, 0.9998),     # Bi-214 -> Po-214
+                (81, 133, DECAY_ALPHA, 0.0002)],         # Bi-214 -> Tl-210
+    (84, 130): [(82, 128, DECAY_ALPHA, 1.0)],            # Po-214 -> Pb-210
+    (82, 128): [(83, 127, DECAY_BETA_MINUS, 1.0)],       # Pb-210 -> Bi-210
+    (83, 127): [(84, 126, DECAY_BETA_MINUS, 1.0)],       # Bi-210 -> Po-210
+    (84, 126): [(82, 124, DECAY_ALPHA, 1.0)],            # Po-210 -> Pb-206 (stable)
+    # U-235 series (partial)
+    (92, 143): [(90, 141, DECAY_ALPHA, 1.0)],            # U-235 -> Th-231
+    (90, 141): [(91, 140, DECAY_BETA_MINUS, 1.0)],       # Th-231 -> Pa-231
+    (91, 140): [(89, 138, DECAY_ALPHA, 1.0)],            # Pa-231 -> Ac-227
+    # Th-232 series (partial)
+    (90, 142): [(88, 140, DECAY_ALPHA, 1.0)],            # Th-232 -> Ra-228
+    (88, 140): [(89, 139, DECAY_BETA_MINUS, 1.0)],       # Ra-228 -> Ac-228
+    (89, 139): [(90, 138, DECAY_BETA_MINUS, 1.0)],       # Ac-228 -> Th-228
+    # Medical isotopes
+    (43, 56): [(43, 56, DECAY_GAMMA, 0.99),              # Tc-99m -> Tc-99
+               (43, 56, DECAY_BETA_MINUS, 0.01)],        # Tc-99m -> Ru-99
+    (53, 74): [(54, 73, DECAY_BETA_MINUS, 1.0)],         # I-131 -> Xe-131
+    # Fission products
+    (55, 82): [(56, 81, DECAY_BETA_MINUS, 1.0)],         # Cs-137 -> Ba-137m
+    (38, 52): [(39, 51, DECAY_BETA_MINUS, 1.0)],         # Sr-90 -> Y-90
+    # Light elements
+    (1, 2): [(2, 1, DECAY_BETA_MINUS, 1.0)],             # H-3 -> He-3
+    (6, 8): [(7, 7, DECAY_BETA_MINUS, 1.0)],             # C-14 -> N-14
+}
+
+
+def stable_nz_ratio(z: int) -> float:
+    """Empirical stability-band N/Z ratio (decay_chains.py:182-187)."""
+    if z < 20:
+        return 1.0
+    return 1.0 + 0.015 * z**1.3
+
+
+def predict_decay(z: int, n: int) -> list[tuple[int, int, int, float]]:
+    """Predict the decay mode of an untabulated isotope from its N/Z ratio.
+
+    Pure reimplementation of the reference's ``expand_decay_chain``
+    (decay_chains.py:169-201): very heavy elements alpha-decay; neutron-rich
+    isotopes beta-minus; proton-rich isotopes beta-plus (Z > 30) or
+    proton-emission; isotopes inside the stability band are treated as
+    non-decaying. Unlike the reference, no global state is mutated.
+    """
+    n_to_z = n / max(1, z)
+    stable_ratio = stable_nz_ratio(z)
+
+    if z > 83:
+        return [(z - 2, n - 2, DECAY_ALPHA, 0.9)]
+    if n_to_z > stable_ratio + 0.15:
+        return [(z + 1, n - 1, DECAY_BETA_MINUS, 0.9)]
+    if n_to_z < stable_ratio - 0.15:
+        if z > 30:
+            return [(z - 1, n + 1, DECAY_BETA_PLUS, 0.9)]
+        return [(z - 1, n, DECAY_PROTON_EMISSION, 0.9)]
+    return [(z, n, DECAY_NONE, 1.0)]
+
+
+def decay_branches(z: int, n: int) -> list[tuple[int, int, int, float]]:
+    """Tabulated branches if known, otherwise the predicted mode."""
+    key = (z, n)
+    if key in DECAY_CHAINS:
+        return DECAY_CHAINS[key]
+    return predict_decay(z, n)

@@ -1,0 +1,119 @@
+"""Tabulated isotope half-lives.
+
+Physical-constant table with the same coverage as the reference database
+(/root/reference/decay_chains.py:13-123): ~70 isotopes from H-1 to Pu-244,
+including the full U-238 chain membership and common medical/industrial
+isotopes. Values are seconds; ``float('inf')`` marks stable isotopes.
+
+Unlike the reference (a Python dict consulted from host code on every
+decay, decay_chains.py:257-262), this table is only the *source of truth*:
+``pyqmd_tpu.data.tables`` densifies it into a (Z, N)-indexed device array
+so half-life lookups happen inside the jit-compiled step.
+"""
+
+from __future__ import annotations
+
+INF = float("inf")
+
+# Time-unit constants (decay_chains.py:6-9).
+YEAR = 31557600.0
+DAY = 86400.0
+HOUR = 3600.0
+MINUTE = 60.0
+
+# {(Z, N): half-life in seconds}
+HALF_LIVES: dict[tuple[int, int], float] = {
+    # Hydrogen
+    (1, 0): INF,                 # H-1
+    (1, 1): INF,                 # H-2 (deuterium)
+    (1, 2): 12.32 * YEAR,        # H-3 (tritium)
+    (1, 3): 0.000000000139,      # H-4
+    # Helium
+    (2, 1): INF,                 # He-3
+    (2, 2): INF,                 # He-4
+    (2, 3): 0.806,               # He-5
+    (2, 4): 0.000000000119,      # He-6
+    (2, 6): 0.807,               # He-8
+    # Lithium
+    (3, 3): INF,                 # Li-6
+    (3, 4): INF,                 # Li-7
+    (3, 5): 0.839,               # Li-8
+    (3, 6): 0.1783,              # Li-9
+    # Beryllium
+    (4, 3): 53.22 * DAY,         # Be-7
+    (4, 5): INF,                 # Be-9
+    (4, 6): 1.51e6 * YEAR,       # Be-10
+    (4, 7): 13.81,               # Be-11
+    # Carbon
+    (6, 6): INF,                 # C-12
+    (6, 7): INF,                 # C-13
+    (6, 8): 5730 * YEAR,         # C-14
+    # Nitrogen
+    (7, 7): INF,                 # N-14
+    (7, 8): INF,                 # N-15
+    # Oxygen
+    (8, 8): INF,                 # O-16
+    (8, 9): INF,                 # O-17
+    (8, 10): INF,                # O-18
+    # Iron
+    (26, 28): INF,               # Fe-54
+    (26, 30): INF,               # Fe-56
+    (26, 31): INF,               # Fe-57
+    (26, 32): INF,               # Fe-58
+    (26, 33): 44.5 * DAY,        # Fe-59
+    # Medium-weight stables
+    (27, 32): INF,               # Co-59
+    (28, 30): INF,               # Ni-58
+    (29, 34): INF,               # Cu-63
+    (30, 34): INF,               # Zn-64
+    (36, 48): INF,               # Kr-84
+    (38, 50): INF,               # Sr-88
+    (42, 56): INF,               # Mo-98
+    # Silver
+    (47, 60): INF,               # Ag-107
+    (47, 62): INF,               # Ag-109
+    (47, 58): 8.3 * 60,          # Ag-105
+    (47, 56): 5.1 * 60,          # Ag-103
+    (47, 63): 2.38 * 60,         # Ag-110m
+    (47, 64): 7.45 * DAY,        # Ag-111
+    (47, 59): 2.37 * MINUTE,     # Ag-106m
+    # Heavy stables
+    (78, 117): INF,              # Pt-195
+    (79, 118): INF,              # Au-197
+    (80, 120): INF,              # Hg-200
+    (81, 122): INF,              # Tl-203
+    (82, 124): INF,              # Pb-206
+    (82, 125): INF,              # Pb-207
+    (82, 126): INF,              # Pb-208
+    # Uranium
+    (92, 142): 2.455e5 * YEAR,   # U-234
+    (92, 143): 7.04e8 * YEAR,    # U-235
+    (92, 146): 4.468e9 * YEAR,   # U-238
+    # Thorium
+    (90, 140): 7.54e4 * YEAR,    # Th-230
+    (90, 142): 1.405e10 * YEAR,  # Th-232
+    (90, 144): 24.10 * DAY,      # Th-234
+    # Neptunium / Plutonium
+    (93, 144): 2.14e6 * YEAR,    # Np-237
+    (94, 145): 6.56e3 * YEAR,    # Pu-239
+    (94, 146): 6.56e3 * YEAR,    # Pu-240
+    (94, 150): 8.00e7 * YEAR,    # Pu-244
+    # Radium / Radon / Polonium
+    (88, 138): 1600 * YEAR,      # Ra-226
+    (86, 136): 3.8235 * DAY,     # Rn-222
+    (84, 124): 138.376 * DAY,    # Po-208
+    (84, 126): 138.376 * DAY,    # Po-210
+    # Short-lived chain members
+    (84, 130): 164.3e-6,         # Po-214
+    (84, 134): 3.1 * MINUTE,     # Po-218
+    (83, 127): 5.015 * DAY,      # Bi-210
+    (83, 131): 19.9 * MINUTE,    # Bi-214
+    (82, 128): 22.3 * YEAR,      # Pb-210
+    (82, 132): 26.8 * MINUTE,    # Pb-214
+    # Medical / industrial
+    (27, 33): 5.27 * YEAR,       # Co-60
+    (43, 56): 6.01 * HOUR,       # Tc-99m
+    (53, 74): 8.02 * DAY,        # I-131
+    (55, 82): 30.17 * YEAR,      # Cs-137
+    (38, 52): 28.79 * YEAR,      # Sr-90
+}

@@ -1,0 +1,192 @@
+"""Fused Pallas force + integrate kernel (Mosaic / TPU).
+
+This is the native-code equivalent of the reference's single native
+component: the embedded OpenCL kernel ``update_forces_and_positions``
+(/root/reference/nuclear_forces.py:57-173). Same physics as
+:func:`pyqmd_tpu.core.forces.force_step` (the jnp oracle) — hard core,
+piecewise strong force, p-p Coulomb, same-type Pauli, per-pair clamp, CoM
+spring, semi-implicit Euler with 0.85 damping — but with the TPU-first
+execution shape:
+
+  * grid over batch tiles (TILE_B nuclei per program), the ensemble being
+    the scale axis (SURVEY §2 P2: kernel tiling);
+  * all state for a tile resident in VMEM; the (P, P) pair interaction is
+    computed per nucleus with VPU elementwise ops and reduced with an MXU
+    matmul (force accumulation as ``g @ pos`` instead of a (P, P, 2)
+    broadcast), never spilling pair matrices to HBM;
+  * center of mass and alive counts computed in-kernel (the reference
+    computes the center on host each substep, nuclear_forces.py:206-208);
+  * integration fused into the same kernel — one HBM read + one HBM write
+    of the state per substep, the speed-of-light minimum.
+
+The kernel works on any padded particle capacity that is a multiple of 128
+(lane width). Equivalence with the jnp path is pinned by
+tests/test_kernel.py in interpret mode and on real TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pyqmd_tpu.config import SimConfig
+from pyqmd_tpu.state import PROTON
+
+TILE_B = 8  # nuclei per program: matches the f32 (8, 128) sublane tile
+
+
+def _force_kernel(
+    dt_ref,  # (1, 1) SMEM
+    px_ref, py_ref, vx_ref, vy_ref,  # (TILE_B, P) VMEM f32
+    isp_ref, m_ref,  # (TILE_B, P) VMEM f32: proton indicator, alive mask
+    ox_ref, oy_ref, ovx_ref, ovy_ref,  # outputs (TILE_B, P)
+    *,
+    cfg: SimConfig,
+):
+    dt = dt_ref[0, 0]
+    eps = cfg.epsilon
+    s = cfg.strong_strength
+    min_allowed = cfg.nucleon_radius * cfg.hard_core_scale
+
+    p = px_ref.shape[1]
+    eye = jnp.eye(p, dtype=jnp.float32)
+
+    for b in range(TILE_B):  # static unroll over the batch tile
+        x = px_ref[b, :]
+        y = py_ref[b, :]
+        m = m_ref[b, :]
+        isp = isp_ref[b, :]
+
+        count = jnp.sum(m)
+        safe = jnp.maximum(count, 1.0)
+        cx = jnp.sum(x * m) / safe
+        cy = jnp.sum(y * m) / safe
+
+        dx = x[None, :] - x[:, None]
+        dy = y[None, :] - y[:, None]
+        dist2 = dx * dx + dy * dy
+        pair = (
+            (m[:, None] * m[None, :])
+            * (1.0 - eye)
+            * (dist2 >= 0.01).astype(jnp.float32)
+        )
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+
+        # Pair force terms (nuclear_forces.py:100-137).
+        overlap = jnp.maximum(min_allowed - dist, 0.0) / min_allowed
+        f = -cfg.hard_core_strength * overlap * jnp.sqrt(overlap)  # x**1.5
+
+        r_ratio = dist / cfg.strong_range
+        core = -0.7 * s / (dist2 + eps)
+        attract = 1.25 * s * jnp.exp(-r_ratio) / (dist + eps)
+        tail = 0.15 * s * jnp.exp(-r_ratio * 1.8) / (dist + eps)
+        f = f + jnp.where(
+            dist < cfg.strong_core_cut,
+            core,
+            jnp.where(dist < cfg.strong_attract_cut, attract, tail),
+        )
+
+        is_pp = isp[:, None] * isp[None, :]
+        f = f - is_pp * (cfg.coulomb_strength / (dist2 + eps))
+
+        same = 1.0 - jnp.abs(isp[:, None] - isp[None, :])  # same type (p/n only)
+        pauli = cfg.pauli_strength * jnp.exp(-dist / cfg.pauli_range * 2.0)
+        f = f - jnp.where(dist < cfg.pauli_range, same * pauli, 0.0)
+
+        f = jnp.clip(f, -cfg.max_pair_force, cfg.max_pair_force)
+        g = pair * f / dist  # per-pair magnitude / distance
+
+        # Force accumulation as matvecs on the MXU:
+        # Fx_i = sum_j g_ij (x_j - x_i) = (g @ x)_i - x_i * rowsum(g)_i.
+        gx = jnp.dot(g, x[:, None], preferred_element_type=jnp.float32)[:, 0]
+        gy = jnp.dot(g, y[:, None], preferred_element_type=jnp.float32)[:, 0]
+        gs = jnp.sum(g, axis=1)
+        fx = gx - x * gs
+        fy = gy - y * gs
+
+        # CoM containment spring (nuclear_forces.py:144-154).
+        cdx = cx - x
+        cdy = cy - y
+        cdist = jnp.sqrt(cdx * cdx + cdy * cdy)
+        nuclear_radius = 1.2 * safe ** (1.0 / 3.0) * 2.0
+        active = ((cdist > nuclear_radius * 1.5) & (cdist > 0.01)).astype(
+            jnp.float32
+        )
+        mag = cfg.com_spring * (cdist - nuclear_radius)
+        scale = active * mag / jnp.maximum(cdist, 1e-9)
+        fx = (fx + scale * cdx) * m
+        fy = (fy + scale * cdy) * m
+
+        # Fused semi-implicit Euler + damping (nuclear_forces.py:156-171).
+        vx = (vx_ref[b, :] + fx * dt) * cfg.damping
+        vy = (vy_ref[b, :] + fy * dt) * cfg.damping
+        ovx_ref[b, :] = jnp.where(m > 0, vx, vx_ref[b, :])
+        ovy_ref[b, :] = jnp.where(m > 0, vy, vy_ref[b, :])
+        ox_ref[b, :] = jnp.where(m > 0, x + vx * dt, x)
+        oy_ref[b, :] = jnp.where(m > 0, y + vy * dt, y)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interpret")
+)
+def _force_step_batched(pos, vel, ptype, alive, dt, cfg: SimConfig, interpret=False):
+    """Fused kernel over a batch: pos/vel (B, P, 2), ptype/alive (B, P)."""
+    b, p = ptype.shape
+    if p % 128 != 0:
+        raise ValueError(f"pallas backend needs P % 128 == 0, got {p}")
+    pad_b = (-b) % TILE_B
+    if pad_b:
+        pos = jnp.pad(pos, ((0, pad_b), (0, 0), (0, 0)))
+        vel = jnp.pad(vel, ((0, pad_b), (0, 0), (0, 0)))
+        ptype = jnp.pad(ptype, ((0, pad_b), (0, 0)))
+        alive = jnp.pad(alive, ((0, pad_b), (0, 0)))
+    bb = b + pad_b
+
+    px, py = pos[..., 0], pos[..., 1]
+    vx, vy = vel[..., 0], vel[..., 1]
+    isp = ((ptype == PROTON) & alive).astype(jnp.float32)
+    m = alive.astype(jnp.float32)
+    dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
+
+    grid = (bb // TILE_B,)
+    vspec = pl.BlockSpec((TILE_B, p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    out_shape = [jax.ShapeDtypeStruct((bb, p), jnp.float32)] * 4
+
+    flops_per = 2 * p * p * 40  # rough: ~40 ops per pair interaction
+    ox, oy, ovx, ovy = pl.pallas_call(
+        functools.partial(_force_kernel, cfg=cfg),
+        grid=grid,
+        in_specs=[sspec] + [vspec] * 6,
+        out_specs=[vspec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per * TILE_B,
+            bytes_accessed=10 * TILE_B * p * 4,
+            transcendentals=3 * TILE_B * p * p,
+        ),
+    )(dt_arr, px, py, vx, vy, isp, m)
+
+    new_pos = jnp.stack([ox, oy], axis=-1)[:b]
+    new_vel = jnp.stack([ovx, ovy], axis=-1)[:b]
+    return new_pos, new_vel
+
+
+def force_step_pallas(pos, vel, ptype, alive, dt, cfg: SimConfig, interpret=False):
+    """Drop-in replacement for :func:`pyqmd_tpu.core.forces.force_step`.
+
+    Accepts unbatched (P, 2) state (adds a singleton batch) or batched
+    (B, P, 2) state. Under ``vmap`` the unbatched call is batched by JAX
+    automatically via the batched entry point.
+    """
+    if pos.ndim == 2:
+        new_pos, new_vel = _force_step_batched(
+            pos[None], vel[None], ptype[None], alive[None], dt, cfg, interpret
+        )
+        return new_pos[0], new_vel[0]
+    return _force_step_batched(pos, vel, ptype, alive, dt, cfg, interpret)

@@ -125,6 +125,23 @@ class NucleusState:
     # SURVEY C15).
     decay_counts: jax.Array  # (NUM_DECAY_TYPES,) i32
 
+    # Simulation clock (sim seconds; nuclear_sim.py:54, 124) and the time
+    # of the last decay event (nuclear_sim.py:113, 281), used for the
+    # measured-or-synthetic decay-duration record (nuclear_sim.py:239-255).
+    time_passed: jax.Array  # () f32
+    last_decay_time: jax.Array  # () f32
+
+    # Decay-chain event log: a fixed ring buffer replacing the reference's
+    # unbounded ``nucleus.decay_chain`` list (nuclear_sim.py:271-278).
+    # Entry i % L: parent (Z, N), decay type, daughter (Z, N), duration.
+    chain_z0: jax.Array  # (L,) i32
+    chain_n0: jax.Array  # (L,) i32
+    chain_dtype: jax.Array  # (L,) i32
+    chain_z1: jax.Array  # (L,) i32
+    chain_n1: jax.Array  # (L,) i32
+    chain_time: jax.Array  # (L,) f32
+    chain_cursor: jax.Array  # () i32 — total entries ever written
+
     @property
     def capacity(self) -> int:
         return self.pos.shape[-2]
@@ -148,7 +165,7 @@ class NucleusState:
 
 def empty_state(cfg: SimConfig, seed: int = 0) -> NucleusState:
     """All-dead state with the right shapes/dtypes (no placement)."""
-    p, e = cfg.max_particles, cfg.max_ejecta
+    p, e, l = cfg.max_particles, cfg.max_ejecta, cfg.max_chain_log
     key = jax.random.key_data(jax.random.PRNGKey(seed)).astype(jnp.uint32)
     return NucleusState(
         pos=jnp.zeros((p, 2), jnp.float32),
@@ -167,4 +184,13 @@ def empty_state(cfg: SimConfig, seed: int = 0) -> NucleusState:
         ej_cursor=jnp.asarray(0, jnp.int32),
         rng=key,
         decay_counts=jnp.zeros((NUM_DECAY_TYPES,), jnp.int32),
+        time_passed=jnp.asarray(0.0, jnp.float32),
+        last_decay_time=jnp.asarray(0.0, jnp.float32),
+        chain_z0=jnp.zeros((l,), jnp.int32),
+        chain_n0=jnp.zeros((l,), jnp.int32),
+        chain_dtype=jnp.zeros((l,), jnp.int32),
+        chain_z1=jnp.zeros((l,), jnp.int32),
+        chain_n1=jnp.zeros((l,), jnp.int32),
+        chain_time=jnp.zeros((l,), jnp.float32),
+        chain_cursor=jnp.asarray(0, jnp.int32),
     )
