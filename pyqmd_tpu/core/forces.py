@@ -87,6 +87,30 @@ def com_force(pos, center, count, cfg: SimConfig):
     return cd * scale[:, None]
 
 
+def pair_forces_block(pos_i, type_i, alive_i, pos_j, type_j, alive_j, cfg: SimConfig):
+    """Pair-force contribution of a j-block on an i-block: (Ni, 2).
+
+    Self-pairs and degenerate pairs are excluded by the kernel's
+    ``dist2 < 0.01`` guard (nuclear_forces.py:96): a particle against
+    itself has dist2 == 0 exactly. This makes the function directly usable
+    as the ring-rotation body of the particle-axis sharded force
+    (SURVEY §2 P5) — no global index bookkeeping needed.
+    """
+    d = pos_j[None, :, :] - pos_i[:, None, :]  # d[i, j] = pos_j - pos_i
+    dist2 = jnp.sum(d * d, axis=-1)
+    pair = alive_i[:, None] & alive_j[None, :] & (dist2 >= 0.01)
+
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+    ip_i = type_i == PROTON
+    ip_j = type_j == PROTON
+    is_pp = ip_i[:, None] & ip_j[None, :]
+    is_same = type_i[:, None] == type_j[None, :]
+
+    net = pair_net_force(dist, dist2, is_pp, is_same, cfg)
+    g = jnp.where(pair, net / dist, 0.0)  # force magnitude / dist
+    return jnp.sum(g[:, :, None] * d, axis=1)
+
+
 def compute_forces(pos, ptype, alive, cfg: SimConfig):
     """Total per-particle force (P, 2) from all pair terms + CoM spring."""
     m = alive
@@ -94,23 +118,7 @@ def compute_forces(pos, ptype, alive, cfg: SimConfig):
     safe_count = jnp.maximum(count, 1.0)
     center = jnp.sum(pos * m[:, None], axis=0) / safe_count
 
-    d = pos[None, :, :] - pos[:, None, :]  # d[i, j] = pos[j] - pos[i]
-    dist2 = jnp.sum(d * d, axis=-1)
-    # Pair mask: both alive, not self, not degenerate (kernel skips
-    # dist2 < 0.01, nuclear_forces.py:96).
-    p = pos.shape[0]
-    eye = jnp.eye(p, dtype=bool)
-    pair = m[:, None] & m[None, :] & ~eye & (dist2 >= 0.01)
-
-    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
-    is_proton = ptype == PROTON
-    is_pp = is_proton[:, None] & is_proton[None, :]
-    is_same = ptype[:, None] == ptype[None, :]
-
-    net = pair_net_force(dist, dist2, is_pp, is_same, cfg)
-    g = jnp.where(pair, net / dist, 0.0)  # force magnitude / dist
-    force = jnp.sum(g[:, :, None] * d, axis=1)
-
+    force = pair_forces_block(pos, ptype, m, pos, ptype, m, cfg)
     force = force + com_force(pos, center, safe_count, cfg) * m[:, None]
     return force
 

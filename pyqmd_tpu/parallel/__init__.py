@@ -1,0 +1,30 @@
+"""Parallelism: device meshes, sharded ensembles, ring-sharded forces.
+
+The reference is single-process/single-device (SURVEY §2 "Parallelism &
+communication"); these modules are the capability-equivalent TPU scale-out:
+P1 ensemble data parallelism, P3 psum'd statistics, P4 mesh/collective
+helpers, P5 particle-axis ring sharding.
+"""
+
+from pyqmd_tpu.parallel.ensemble import make_sharded_frame_fn, survival_fraction
+from pyqmd_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_ensemble,
+)
+from pyqmd_tpu.parallel.ring import make_ring_force_step
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_sharding",
+    "make_mesh",
+    "make_ring_force_step",
+    "make_sharded_frame_fn",
+    "replicated",
+    "shard_ensemble",
+    "survival_fraction",
+]

@@ -1,0 +1,82 @@
+"""Particle-axis sharded force: the ppermute ring (SURVEY §2 P5).
+
+The n-body equivalent of ring attention: when one nucleus's O(N^2) pair
+sweep exceeds a core (or to demonstrate the pattern at A <= 238), shard the
+particle axis over a ``model`` mesh axis. Each device keeps its i-block
+fixed and accumulates forces from a j-block that rotates around the ring
+via ``lax.ppermute``; after D hops every i-block has seen every j-block.
+Center of mass and alive counts are psum'd first, so the physics is exactly
+:func:`pyqmd_tpu.core.forces.force_step` up to f32 reduction order.
+
+The reference's closest concept is the per-work-item j-loop inside its
+OpenCL kernel (/root/reference/nuclear_forces.py:85-142) — single device,
+no sharding of any kind.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from pyqmd_tpu.config import SimConfig
+from pyqmd_tpu.core.forces import com_force, pair_forces_block
+from pyqmd_tpu.parallel.mesh import MODEL_AXIS
+
+
+def _ring_force_local(pos, vel, ptype, alive, dt, cfg: SimConfig, axis: str):
+    """Body run per shard under shard_map: inputs are local blocks."""
+    d_devs = jax.lax.axis_size(axis)
+    m = alive.astype(jnp.float32)
+
+    # Global alive count and center of mass (kernel computes these over the
+    # full particle set, nuclear_forces.py:148, 206-208).
+    count = jax.lax.psum(jnp.sum(m), axis)
+    safe = jnp.maximum(count, 1.0)
+    center = jax.lax.psum(jnp.sum(pos * m[:, None], axis=0), axis) / safe
+
+    perm = [(i, (i + 1) % d_devs) for i in range(d_devs)]
+
+    def body(carry, _):
+        j_pos, j_type, j_alive, acc = carry
+        acc = acc + pair_forces_block(pos, ptype, alive, j_pos, j_type, j_alive, cfg)
+        # Rotate the j-block to the next device; overlappable with the next
+        # block's compute by XLA's latency-hiding scheduler.
+        j_pos = jax.lax.ppermute(j_pos, axis, perm)
+        j_type = jax.lax.ppermute(j_type, axis, perm)
+        j_alive = jax.lax.ppermute(j_alive, axis, perm)
+        return (j_pos, j_type, j_alive, acc), None
+
+    init = (pos, ptype, alive, jnp.zeros_like(pos))
+    (_, _, _, force), _ = jax.lax.scan(body, init, None, length=d_devs)
+
+    force = force + com_force(pos, center, safe, cfg) * m[:, None]
+    new_vel = (vel + force * dt) * cfg.damping
+    new_pos = pos + new_vel * dt
+    keep = alive[:, None]
+    return jnp.where(keep, new_pos, pos), jnp.where(keep, new_vel, vel)
+
+
+def make_ring_force_step(cfg: SimConfig, mesh, axis: str = MODEL_AXIS):
+    """Build a jitted force step with the particle axis sharded over
+    ``axis``. Drop-in semantics of :func:`core.forces.force_step` for
+    (P, 2) arrays with P divisible by the axis size."""
+    spec2 = P(axis, None)
+    spec1 = P(axis)
+
+    local = functools.partial(_ring_force_local, cfg=cfg, axis=axis)
+    shard = jax.shard_map(
+        lambda pos, vel, t, a, dt: local(pos, vel, t, a, dt),
+        mesh=mesh,
+        in_specs=(spec2, spec2, spec1, spec1, P()),
+        out_specs=(spec2, spec2),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(pos, vel, ptype, alive, dt):
+        return shard(pos, vel, ptype, alive, jnp.asarray(dt, jnp.float32))
+
+    return step

@@ -1,0 +1,75 @@
+"""Pallas kernel equivalence tests (SURVEY §4 tier 2).
+
+The fused Mosaic kernel must match the jnp oracle to f32 tolerance across
+nucleus sizes and batch shapes. On CPU the kernel runs in interpret mode —
+the "fake backend" for CI without a TPU; the same assertions run compiled
+on real TPU hardware via bench.py / the driver's entry check.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyqmd_tpu.config import SimConfig
+from pyqmd_tpu.core.forces import force_step
+from pyqmd_tpu.kernels.forces_pallas import TILE_B, force_step_pallas
+
+CFG = SimConfig.for_isotope(92, 146, pad_to=128)
+
+
+def _random_state(p, n_alive, seed, spread=40.0):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(400 - spread / 2, 400 + spread / 2, (p, 2)).astype(np.float32)
+    vel = rng.normal(0, 2, (p, 2)).astype(np.float32)
+    ptype = rng.integers(0, 2, p).astype(np.int32)
+    alive = np.arange(p) < n_alive
+    return (
+        jnp.asarray(pos),
+        jnp.asarray(vel),
+        jnp.asarray(ptype),
+        jnp.asarray(alive),
+    )
+
+
+@pytest.mark.parametrize("n_alive", [4, 56, 238, 256])
+def test_kernel_matches_jnp(n_alive):
+    pos, vel, ptype, alive = _random_state(256, n_alive, n_alive)
+    dt = 1 / 240.0
+    jp, jv = force_step(pos, vel, ptype, alive, dt, CFG)
+    pp, pv = force_step_pallas(pos, vel, ptype, alive, dt, CFG, interpret=True)
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(jp), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(jv), rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_batched_and_tile_padding():
+    """Batch sizes that don't divide TILE_B are padded and unpadded."""
+    b = TILE_B + 3
+    states = [_random_state(128, 100, s) for s in range(b)]
+    pos = jnp.stack([s[0] for s in states])
+    vel = jnp.stack([s[1] for s in states])
+    ptype = jnp.stack([s[2] for s in states])
+    alive = jnp.stack([s[3] for s in states])
+    dt = 1 / 240.0
+
+    pp, pv = force_step_pallas(pos, vel, ptype, alive, dt, CFG, interpret=True)
+    ref = [force_step(*_random_state(128, 100, s), dt, CFG) for s in range(b)]
+    for i in range(b):
+        np.testing.assert_allclose(
+            np.asarray(pp[i]), np.asarray(ref[i][0]), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_kernel_dense_cluster():
+    """Hard-core regime: everything overlapping (post-init state)."""
+    pos, vel, ptype, alive = _random_state(128, 64, 7, spread=4.0)
+    dt = 1 / 240.0
+    jp, jv = force_step(pos, vel, ptype, alive, dt, CFG)
+    pp, pv = force_step_pallas(pos, vel, ptype, alive, dt, CFG, interpret=True)
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(jp), rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_rejects_unaligned_capacity():
+    pos, vel, ptype, alive = _random_state(100, 50, 0)
+    with pytest.raises(ValueError):
+        force_step_pallas(pos, vel, ptype, alive, 1 / 240.0, CFG, interpret=True)

@@ -1,0 +1,125 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU mesh (SURVEY §4 tier 4).
+
+The fake-backend analog: XLA host-platform device multiplication. Checks
+that the shard_map ensemble equals the unsharded vmap bit-for-bit (modulo
+psum reduction order) and that the ppermute ring force (P5) matches the
+dense single-device force.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyqmd_tpu.config import SimConfig
+from pyqmd_tpu.core.forces import force_step
+from pyqmd_tpu.core.init import ensemble_init, init_state
+from pyqmd_tpu.core.step import ensemble_step
+from pyqmd_tpu.parallel import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    make_mesh,
+    make_ring_force_step,
+    make_sharded_frame_fn,
+    shard_ensemble,
+)
+
+
+def test_make_mesh_shapes(eight_devices):
+    mesh = make_mesh()
+    assert mesh.axis_names == (DATA_AXIS,)
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh((4, 2), (DATA_AXIS, MODEL_AXIS))
+    assert mesh2.shape == {DATA_AXIS: 4, MODEL_AXIS: 2}
+    with pytest.raises(ValueError):
+        make_mesh((16,))
+
+
+def test_sharded_ensemble_matches_unsharded(eight_devices):
+    cfg = SimConfig.for_isotope(6, 8, pad_to=8)
+    batch = 32
+    states = ensemble_init(cfg, batch, seed=0)
+
+    # Unsharded reference.
+    ref_states, ref_m = jax.jit(
+        lambda s: ensemble_step(s, cfg, 1.0, 1 / 60.0, 2)
+    )(states)
+
+    mesh = make_mesh()
+    sharded = shard_ensemble(ensemble_init(cfg, batch, seed=0), mesh)
+    fn = make_sharded_frame_fn(cfg, 2, mesh)
+    out_states, m = fn(sharded, 1.0, 1 / 60.0)
+
+    np.testing.assert_allclose(
+        np.asarray(out_states.pos), np.asarray(ref_states.pos), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m["total_decay_counts"]), np.asarray(ref_m["total_decay_counts"])
+    )
+    assert int(m["total_alive"]) == int(ref_m["total_alive"])
+    assert int(m["survivors"]) <= batch
+
+
+def test_sharded_frame_runs_many_frames(eight_devices):
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)
+    mesh = make_mesh()
+    states = shard_ensemble(ensemble_init(cfg, 16, seed=1), mesh)
+    fn = make_sharded_frame_fn(cfg, 2, mesh)
+    for _ in range(3):
+        states, m = fn(states, 1.0, 1 / 60.0)
+    assert bool(jnp.all(jnp.isfinite(states.pos)))
+    assert int(m["survivors"]) == 16  # He-4 stable
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_ring_force_matches_dense(eight_devices, n_shards):
+    cfg = SimConfig.for_isotope(26, 30, pad_to=8)
+    st = init_state(cfg, seed=0)
+    dt = 1 / 240.0
+
+    dense_pos, dense_vel = jax.jit(
+        lambda *a: force_step(*a, dt, cfg)
+    )(st.pos, st.vel, st.ptype, st.alive)
+
+    mesh = make_mesh((n_shards,), (MODEL_AXIS,), devices=jax.devices()[:n_shards])
+    ring = make_ring_force_step(cfg, mesh)
+    ring_pos, ring_vel = ring(st.pos, st.vel, st.ptype, st.alive, dt)
+
+    np.testing.assert_allclose(
+        np.asarray(ring_pos), np.asarray(dense_pos), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ring_vel), np.asarray(dense_vel), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_ring_force_multiple_steps_stay_bound(eight_devices):
+    cfg = SimConfig.for_isotope(26, 30, pad_to=8)
+    st = init_state(cfg, seed=2)
+    mesh = make_mesh((4,), (MODEL_AXIS,), devices=jax.devices()[:4])
+    ring = make_ring_force_step(cfg, mesh)
+    pos, vel = st.pos, st.vel
+    for _ in range(20):
+        pos, vel = ring(pos, vel, st.ptype, st.alive, 1 / 240.0)
+    assert bool(jnp.all(jnp.isfinite(pos)))
+
+
+def test_2d_mesh_data_times_model(eight_devices):
+    """2-D mesh: ensemble over 'data', ring force over 'model' — the
+    composed layout the multichip dryrun exercises."""
+    cfg = SimConfig.for_isotope(8, 8, pad_to=8)
+    mesh = make_mesh((4, 2), (DATA_AXIS, MODEL_AXIS))
+    st = init_state(cfg, seed=0)
+    dt = 1 / 240.0
+
+    ring = make_ring_force_step(cfg, mesh, axis=MODEL_AXIS)
+    # vmap the model-sharded force over a data-sharded batch.
+    batch = ensemble_init(cfg, 8, seed=3)
+    out_pos, out_vel = jax.vmap(
+        lambda p, v, t, a: ring(p, v, t, a, dt)
+    )(batch.pos, batch.vel, batch.ptype, batch.alive)
+
+    ref_pos, ref_vel = jax.vmap(
+        lambda p, v, t, a: force_step(p, v, t, a, dt, cfg)
+    )(batch.pos, batch.vel, batch.ptype, batch.alive)
+    np.testing.assert_allclose(np.asarray(out_pos), np.asarray(ref_pos), rtol=1e-4, atol=1e-4)
