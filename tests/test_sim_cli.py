@@ -1,0 +1,197 @@
+"""Host driver + CLI + checkpoint + formatter tests.
+
+Covers the interactive capability surface of the reference's event system
+(/root/reference/nuclear_sim.py:381-521) as exposed by Simulation and the
+CLI, plus the aux subsystems: checkpoint/resume and unit formatting.
+"""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from pyqmd_tpu.cli import main as cli_main
+from pyqmd_tpu.sim import ISOTOPE_KEYMAP, TIME_SCALE_PRESETS, Simulation
+from pyqmd_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from pyqmd_tpu.utils.format import (
+    format_half_life,
+    format_time_scale,
+    format_time_value,
+    format_time_value_with_unit,
+    parse_time_scale,
+)
+
+
+# --- formatters (nuclear_sim.py:561-587, rendering.py:394-478) --------------
+
+
+def test_format_time_value_with_unit():
+    assert format_time_value_with_unit(0) == "0 s"
+    assert format_time_value_with_unit(2.5e-16) == "250.00 as"
+    assert format_time_value_with_unit(2.5e-13) == "250.00 fs"
+    assert format_time_value_with_unit(3.53 * 86400) == "3.53 days"
+    assert format_time_value_with_unit(164.3e-6) == "164.30 μs"
+    assert format_time_value_with_unit(5730 * 31557600.0) == "5730.00 years"
+
+
+def test_format_time_scale():
+    assert format_time_scale(1.0) == "x1.0 (real-time)"
+    assert format_time_scale(3600.0) == "1.0 hours/s"
+    assert format_time_scale(31557600000000000.0) == "1.0 billion years/s"
+    assert format_time_scale(1e-7) == "100 ns/s"
+
+
+def test_format_time_value_units():
+    assert format_time_value(30)[1] == "seconds"
+    assert format_time_value(90)[1] == "minutes"
+    assert format_time_value(1e10)[1] == "years"
+
+
+def test_format_half_life_buckets():
+    assert format_half_life(float("inf")) == ("Stable", "stable")
+    label, sev = format_half_life(5730 * 31557600.0)
+    assert sev == "long" and "millennia" in label
+    assert format_half_life(10.0)[1] == "short"
+
+
+def test_parse_time_scale():
+    assert parse_time_scale("1e9yr") == pytest.approx(1e9 * 31557600.0)
+    assert parse_time_scale("5day") == pytest.approx(5 * 86400.0)
+    assert parse_time_scale("2h") == pytest.approx(7200.0)
+    assert parse_time_scale("3600") == 3600.0
+    assert parse_time_scale("min") == 60.0
+
+
+# --- Simulation driver -------------------------------------------------------
+
+
+def test_simulation_frame_and_controls():
+    sim = Simulation(z=6, n=8, seed=0, pad_to=8)
+    sim.frame()
+    assert sim.substeps_used == 4  # 1/60 at ts=1 with dt=1/240
+    sim.set_preset("billion")
+    assert sim.time_scale == TIME_SCALE_PRESETS["billion"]
+    sim.frame()
+    assert sim.substeps_used == 20  # clamped at max
+    sim.scale_time(10.0)
+    sim.scale_time(1e40)  # clamps at max
+    assert sim.time_scale == 1e30
+    with pytest.raises(KeyError):
+        sim.set_preset("warp")
+
+
+def test_simulation_force_decay_logs():
+    sim = Simulation(z=92, n=146, seed=0, pad_to=128)
+    sim.force_decay()
+    assert len(sim.decay_log) == 1
+    assert "U-238 → Th-234 (α)" in sim.decay_log[0]
+    assert sim.isotope == "Th-234"
+    entries = sim.chain_entries()
+    assert entries[-1]["parent"] == (92, 146)
+    assert entries[-1]["child"] == (90, 144)
+
+
+def test_simulation_isotope_keymap():
+    sim = Simulation(z=92, n=146, seed=0, pad_to=8)
+    sim.set_isotope_key(3)
+    assert sim.isotope == "C-14"
+    assert ISOTOPE_KEYMAP[9] == (92, 146)
+
+
+def test_simulation_camera_zoom():
+    sim = Simulation(z=2, n=2, pad_to=8)
+    sim.zoom_by(1e9)
+    assert sim.target_zoom == 100.0  # clamped (nuclear_sim.py:75)
+    sim.pan(1.0, -1.0)
+    assert sim.camera_target[0] > sim.cfg.origin_x
+    z0 = sim.zoom
+    sim._lerp_camera()
+    assert sim.zoom > z0  # lerping toward target
+
+
+def test_simulation_status_fields():
+    sim = Simulation(z=6, n=8, pad_to=8)
+    s = sim.status()
+    for k in ("isotope", "z", "n", "half_life", "alive", "decay_counts",
+              "time_passed", "time_scale", "backend"):
+        assert k in s
+    assert s["alive"] == 14
+
+
+def test_simulation_ensemble_mode():
+    sim = Simulation(z=6, n=8, pad_to=8, ensemble=8)
+    m = sim.frame()
+    assert sim.batched
+    assert int(m["total_alive"]) == 8 * 14
+    s = sim.status()
+    assert s["ensemble"] == 8
+    with pytest.raises(RuntimeError):
+        sim.force_decay()
+
+
+# --- checkpoint (SURVEY §5) ---------------------------------------------------
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    sim = Simulation(z=92, n=146, seed=1, pad_to=128)
+    sim.frame()
+    sim.force_decay()
+    path = str(tmp_path / "ck.npz")
+    sim.save(path)
+    state, cfg = load_checkpoint(path)
+    assert cfg == sim.cfg
+    np.testing.assert_array_equal(np.asarray(state.pos), np.asarray(sim.state.pos))
+    assert int(state.chain_cursor) == int(sim.state.chain_cursor)
+
+    resumed = Simulation.load(path)
+    assert resumed.isotope == sim.isotope
+    resumed.frame()  # resumable: stepping works
+    assert np.isfinite(np.asarray(resumed.state.pos)).all()
+
+
+def test_checkpoint_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.npz"
+    np.savez(p, foo=np.zeros(3))
+    with pytest.raises(Exception):
+        load_checkpoint(str(p))
+
+
+# --- CLI ----------------------------------------------------------------------
+
+
+def test_cli_batch_run(tmp_path, capsys):
+    png = tmp_path / "out.png"
+    ck = tmp_path / "out.npz"
+    rc = cli_main([
+        "--isotope", "C-14", "--frames", "3", "--time-scale", "2.0",
+        "--render", str(png), "--save", str(ck), "--status-json", "-q",
+        "--width", "120", "--height", "90",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "isotope:    C-14" in out
+    status = json.loads(out.strip().splitlines()[-1])
+    assert status["z"] == 6 and status["alive"] == 14
+    assert png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+    assert ck.exists()
+
+
+def test_cli_resume(tmp_path, capsys):
+    ck = tmp_path / "r.npz"
+    cli_main(["--isotope", "He-4", "--frames", "2", "--save", str(ck), "-q"])
+    rc = cli_main(["--load", str(ck), "--frames", "2", "-q"])
+    assert rc == 0
+    assert "He-4" in capsys.readouterr().out
+
+
+def test_cli_interactive(tmp_path, capsys, monkeypatch):
+    import io
+
+    commands = "status\ndecay\nt 1e6yr\nstep 2\nchain\nbogus\nquit\n"
+    monkeypatch.setattr("sys.stdin", io.StringIO(commands))
+    rc = cli_main(["--isotope", "U-238", "-i", "-q"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "U-238 → Th-234" in out
+    assert "unknown command 'bogus'" in out
