@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
         "use cpu for quick host-only runs)",
     )
     p.add_argument("--status-json", action="store_true", help="print final status as JSON")
+    p.add_argument(
+        "--profile", metavar="LOGDIR",
+        help="capture a jax.profiler trace of the run into LOGDIR",
+    )
     p.add_argument("-q", "--quiet", action="store_true")
     return p
 
@@ -106,6 +110,7 @@ HELP = """commands (reference keybinding in brackets):
   pan dx dy       move camera                        [WASD]
   chain           show decay chain                   [decay-chain panel]
   status          show info panel
+  show            ASCII view of the nucleus          [main viewport]
   render PATH     write PNG of current frame
   save/load PATH  checkpoint
   quit            exit                               [ESC]
@@ -189,6 +194,8 @@ def interactive(sim: Simulation) -> None:
                     )
             elif cmd == "status":
                 print_status(sim)
+            elif cmd == "show":
+                print(sim.render_ascii())
             elif cmd == "render":
                 from pyqmd_tpu.render import write_png
 
@@ -231,10 +238,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     frames = []
-    for f in range(args.frames):
-        sim.frame(args.frame_dt)
-        if args.render and args.render_every and f % args.render_every == 0:
-            frames.append(sim.render(args.width, args.height))
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        from pyqmd_tpu.utils.profiling import trace
+
+        profile_ctx = trace(args.profile)
+    with profile_ctx:
+        for f in range(args.frames):
+            sim.frame(args.frame_dt)
+            if args.render and args.render_every and f % args.render_every == 0:
+                frames.append(sim.render(args.width, args.height))
 
     print_status(sim)
     if args.render:

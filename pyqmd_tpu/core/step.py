@@ -126,6 +126,10 @@ def simulate_frame(
     )
 
     metrics = {
+        # Step-level NaN guard (SURVEY §5 failure detection): the reference
+        # silently skips a failed kernel launch (nuclear_forces.py:222-224);
+        # here numerical blowup is surfaced as a metric the driver checks.
+        "nan": ~jnp.all(jnp.isfinite(state.pos) & jnp.isfinite(state.vel)),
         "alive": state.alive_count(),
         "z": state.z,
         "n": state.n,

@@ -54,6 +54,7 @@ def make_sharded_frame_fn(cfg: SimConfig, num_steps: int, mesh, axis: str = DATA
         out_specs=(
             state_spec,
             {
+                "nan": state_spec,
                 "alive": state_spec,
                 "z": state_spec,
                 "n": state_spec,

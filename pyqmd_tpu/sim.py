@@ -163,11 +163,35 @@ class Simulation:
 
     def frame(self, frame_dt: float = 1.0 / 60.0):
         """Advance one frame. Substep count is host-bucketed
-        (nuclear_sim.py:153) and selects a cached jit variant."""
+        (nuclear_sim.py:153) and selects a cached jit variant.
+
+        Failure detection (SURVEY §5): if the Pallas backend fails to
+        compile or run, fall back to the jnp path — the analog of the
+        reference's OpenCL->CPU fallback (nuclear_sim.py:40-45) — and a
+        per-frame NaN guard logs numerical blowup instead of the
+        reference's silent kernel-skip (nuclear_forces.py:222-224).
+        """
         num_steps = self.cfg.num_substeps(frame_dt, self.time_scale)
         self.substeps_used = num_steps
-        fn = make_frame_fn(self.cfg, num_steps, batched=self.batched)
-        self.state, metrics = fn(self.state, self.time_scale, frame_dt)
+        try:
+            fn = make_frame_fn(self.cfg, num_steps, batched=self.batched)
+            self.state, metrics = fn(self.state, self.time_scale, frame_dt)
+        except Exception:
+            if self.cfg.force_backend == "pallas":
+                logger.exception("pallas backend failed; falling back to jnp")
+                self.force_backend = "jnp"
+                self.cfg = SimConfig.for_isotope(
+                    self.cfg.z, self.cfg.n, pad_to=self.pad_to, force_backend="jnp"
+                )
+                fn = make_frame_fn(self.cfg, num_steps, batched=self.batched)
+                self.state, metrics = fn(self.state, self.time_scale, frame_dt)
+            else:
+                raise
+        if bool(np.any(np.asarray(metrics["nan"]))):
+            logger.error(
+                "non-finite state detected at frame %d (time scale %g)",
+                self.frame_count, self.time_scale,
+            )
         self.frame_count += 1
         self._lerp_camera()
         if not self.batched:
@@ -282,6 +306,50 @@ class Simulation:
         if self.batched:
             state = jax.tree.map(lambda a: a[index], state)
         return render_to_host(state, tuple(self.camera), self.zoom, width, height)
+
+    def render_ascii(self, width: int = 72, height: int = 30, index: int = 0) -> str:
+        """Terminal view: the interactive-display analog for the REPL.
+        Protons 'o', neutrons '.', ejecta by type letter. Fits the view to
+        the nucleus (unlike render(), which uses the interactive camera)."""
+        from pyqmd_tpu.render import render_to_host
+
+        state = self.state
+        if self.batched:
+            state = jax.tree.map(lambda a: a[index], state)
+        alive = np.asarray(state.alive)
+        pos = np.asarray(state.pos)[alive]
+        if len(pos):
+            com = pos.mean(0)
+            extent = max(float(np.abs(pos - com).max()), 5.0) + 3.0
+        else:
+            com, extent = np.array([self.cfg.origin_x, self.cfg.origin_y]), 10.0
+        zoom = 0.45 * min(width, height) / extent
+        img = render_to_host(
+            state, (float(com[0]), float(com[1])), zoom, width, height, ruler=False
+        )
+        # Classify by dominant channel of the rasterized pixel.
+        chars = []
+        for row in img[::1]:
+            line = []
+            for r, g, b in row.astype(int):
+                if r == g == b == 0:
+                    line.append(" ")
+                elif r > 200 and g < 180 and b < 180:
+                    line.append("o")  # proton reds
+                elif b > 200 and r < 180:
+                    line.append(".")  # neutron blues
+                elif r > 150 and g > 150 and b < 100:
+                    line.append("a")  # alpha yellow
+                elif g > 150 and r < 100 and b > 150:
+                    line.append("e")  # electron cyan
+                elif g > 150 and r < 100:
+                    line.append("y")  # gamma green
+                elif r > 150 and b > 150:
+                    line.append("p")  # positron magenta
+                else:
+                    line.append("#")
+            chars.append("".join(line))
+        return "\n".join(chars)
 
     def save(self, path: str):
         save_checkpoint(path, self.state, self.cfg)
