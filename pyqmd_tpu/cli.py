@@ -89,7 +89,10 @@ def print_status(sim: Simulation) -> None:
         print(f"  sim time:   {val:.2f} {unit}")
         print(f"  ejecta:     {s['ejecta']}")
     print(f"  time scale: {format_time_scale(s['time_scale'])}")
-    print(f"  substeps:   {s['substeps']}/{sim.cfg.max_substeps}")
+    print(f"  substeps:   {s['substeps']}/{sim.max_substeps}"
+          + ("  (auto)" if getattr(sim, "auto_adjust_substeps", False) else ""))
+    if "physics_dt" in s:
+        print(f"  physics dt: {s['physics_dt']:.6f}s")
     counts = {
         DECAY_TYPE_NAMES[i]: c for i, c in enumerate(s["decay_counts"]) if c and i
     }
@@ -108,6 +111,10 @@ HELP = """commands (reference keybinding in brackets):
   iso SPEC        switch isotope (U-238, C14, or keymap digit 1-9) [1-9]
   zoom in|out|N   zoom control                       [Q/E/Z]
   pan dx dy       move camera                        [WASD]
+  auto            toggle auto-substep adjustment     [F]
+  dt VALUE        set physics timestep               [,/.]
+  accuracy VALUE  set accuracy factor (0-1)
+  substeps N      set max substeps per frame         [-/+]
   chain           show decay chain                   [decay-chain panel]
   status          show info panel
   show            ASCII view of the nucleus          [main viewport]
@@ -184,6 +191,18 @@ def interactive(sim: Simulation) -> None:
                 print(f"  zoom target: {sim.target_zoom:.1f}x")
             elif cmd == "pan":
                 sim.pan(float(args[0]), float(args[1]))
+            elif cmd == "auto":
+                sim.auto_adjust_substeps = not sim.auto_adjust_substeps
+                print(f"  auto-adjust substeps: {'ON' if sim.auto_adjust_substeps else 'OFF'}")
+            elif cmd == "dt":
+                sim.physics_dt = float(args[0])
+                print(f"  physics dt: {sim.physics_dt:.6f}s")
+            elif cmd == "accuracy":
+                sim.accuracy = float(args[0])
+                print(f"  accuracy: {sim.accuracy} (effective dt x{2.0 - sim.accuracy:.2f})")
+            elif cmd == "substeps":
+                sim.max_substeps = int(args[0])
+                print(f"  max substeps: {sim.max_substeps}")
             elif cmd == "chain":
                 entries = sim.chain_entries()
                 for e in entries[1:] or entries:

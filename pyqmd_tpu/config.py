@@ -41,10 +41,11 @@ class SimConfig:
     # decay_chains.py:373-388; every other mode emits 1).
     max_ejecta_per_event: int = 3
 
-    # Integration (nuclear_sim.py:59, 63, 62).
+    # Integration (nuclear_sim.py:59, 63, 62, 66).
     physics_dt: float = 1.0 / 240.0
     max_substeps: int = 20
     accuracy: float = 1.0  # effective dt = physics_dt * (2 - accuracy)
+    physics_dt_factor: float = 0.8  # auto-adjust scale (nuclear_sim.py:66)
 
     # Force backend: "jnp" (XLA-fused broadcast, always available) or
     # "pallas" (the fused Mosaic kernel — the native-code equivalent of the

@@ -90,16 +90,20 @@ def simulate_frame(
     time_scale,
     frame_dt,
     num_steps: int,
+    physics_dt=None,
 ) -> tuple[NucleusState, dict]:
     """Advance one frame: ``num_steps`` substeps under ``lax.scan`` then
     overlap resolution (nuclear_sim.py:118-176).
 
-    ``num_steps`` is static (the scan length); ``time_scale`` and
-    ``frame_dt`` are traced so interactive time-scale changes don't
-    recompile. Returns (new_state, metrics).
+    ``num_steps`` is static (the scan length); ``time_scale``, ``frame_dt``
+    and ``physics_dt`` are traced, so interactive time-scale changes and the
+    auto-substep adjustment (nuclear_sim.py:131-142) never recompile.
+    Returns (new_state, metrics).
     """
     time_scale = jnp.asarray(time_scale, jnp.float32)
     frame_dt = jnp.asarray(frame_dt, jnp.float32)
+    if physics_dt is None:
+        physics_dt = cfg.effective_dt()
     desired_dt = frame_dt * time_scale
     # time_passed advances at frame start (nuclear_sim.py:124), so every
     # substep's decay record sees the same frame clock.
@@ -108,7 +112,7 @@ def simulate_frame(
     dyn = FrameDynamics(
         time_scale=time_scale,
         substeps=jnp.asarray(float(num_steps), jnp.float32),
-        physics_dt=jnp.asarray(cfg.effective_dt(), jnp.float32),
+        physics_dt=jnp.asarray(physics_dt, jnp.float32),
         step_time=desired_dt / num_steps,
     )
 
@@ -148,6 +152,7 @@ def ensemble_step(
     time_scale,
     frame_dt,
     num_steps: int,
+    physics_dt=None,
 ) -> tuple[NucleusState, dict]:
     """Batched frame over a leading ensemble axis (SURVEY §2 P1).
 
@@ -156,7 +161,7 @@ def ensemble_step(
     size.
     """
     batched, metrics = jax.vmap(
-        lambda s: simulate_frame(s, cfg, time_scale, frame_dt, num_steps)
+        lambda s: simulate_frame(s, cfg, time_scale, frame_dt, num_steps, physics_dt)
     )(states)
     metrics["total_decay_counts"] = jnp.sum(metrics["decay_counts"], axis=0)
     metrics["total_alive"] = jnp.sum(metrics["alive"])
@@ -173,9 +178,10 @@ def make_frame_fn(cfg: SimConfig, num_steps: int, batched: bool = False):
     dynamic substep loop.
     """
     fn = ensemble_step if batched else simulate_frame
+    default_pdt = cfg.effective_dt()
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def frame(state, time_scale, frame_dt):
-        return fn(state, cfg, time_scale, frame_dt, num_steps)
+    def frame(state, time_scale, frame_dt, physics_dt=default_pdt):
+        return fn(state, cfg, time_scale, frame_dt, num_steps, physics_dt)
 
     return frame

@@ -112,7 +112,8 @@ def _force_kernel(
         cdx = cx - x
         cdy = cy - y
         cdist = jnp.sqrt(cdx * cdx + cdy * cdy)
-        nuclear_radius = 1.2 * safe ** (1.0 / 3.0) * 2.0
+        # Cube root via exp/log (safe >= 1): Mosaic has no powf lowering.
+        nuclear_radius = 1.2 * jnp.exp(jnp.log(safe) / 3.0) * 2.0
         active = ((cdist > nuclear_radius * 1.5) & (cdist > 0.01)).astype(
             jnp.float32
         )

@@ -11,6 +11,7 @@ substep bucket to run, what to log) and keeps UI state (camera lerp, zoom).
 from __future__ import annotations
 
 import logging
+import math
 
 import numpy as np
 
@@ -82,6 +83,14 @@ class Simulation:
         self.time_scale = 1.0
         self.frame_count = 0
         self.substeps_used = 0
+        # Host scheduling state (nuclear_sim.py:59-66): the physics timestep
+        # and accuracy are *traced* args of the jit'd frame, so the F-key
+        # auto-adjust (nuclear_sim.py:131-142) and the timestep controls
+        # never recompile.
+        self.physics_dt = self.cfg.physics_dt
+        self.accuracy = self.cfg.accuracy
+        self.max_substeps = self.cfg.max_substeps
+        self.auto_adjust_substeps = False
         # Camera/zoom with lerp targets (nuclear_sim.py:68-75, 126-128).
         self.camera = [self.cfg.origin_x, self.cfg.origin_y]
         self.camera_target = list(self.camera)
@@ -161,6 +170,43 @@ class Simulation:
 
     # -- stepping ------------------------------------------------------------
 
+    # Substep-count ladder: in auto-adjust mode the reference allows up to
+    # max_substeps * log10(time_scale) substeps (nuclear_sim.py:149-150);
+    # since each count is a distinct lax.scan length (one compile each), the
+    # count is snapped down to this ladder to bound jit variants.
+    _SUBSTEP_LADDER = (
+        1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 25, 32, 40, 50, 64, 80, 100,
+        128, 160, 200,
+    )
+
+    def _schedule(self, frame_dt: float) -> tuple[int, float]:
+        """Host scheduling decision: (num_substeps, effective_physics_dt),
+        the logic of nuclear_sim.py:131-154 including the auto-adjust mode."""
+        ts = self.time_scale
+        pdt = self.physics_dt
+        if self.auto_adjust_substeps and ts != 1.0:
+            if ts > 1.0:
+                scale = min(10.0, ts**0.3)
+                pdt = min(1.0 / 60.0, self.cfg.physics_dt_factor * scale / 240.0)
+            else:
+                scale = max(0.1, ts**0.2)
+                pdt = max(1.0 / 1000.0, self.cfg.physics_dt_factor * scale / 240.0)
+            self.physics_dt = pdt
+        effective = pdt * (2.0 - self.accuracy)
+        ts_factor = 1.0 if ts <= 10.0 else math.log10(ts)
+        adj_max = (
+            int(self.max_substeps * ts_factor)
+            if self.auto_adjust_substeps
+            else self.max_substeps
+        )
+        num = max(1, min(adj_max, int(frame_dt * ts / effective)))
+        # Snap to the ladder (largest entry <= num) to bound compiles.
+        for step in reversed(self._SUBSTEP_LADDER):
+            if step <= num:
+                num = step
+                break
+        return num, effective
+
     def frame(self, frame_dt: float = 1.0 / 60.0):
         """Advance one frame. Substep count is host-bucketed
         (nuclear_sim.py:153) and selects a cached jit variant.
@@ -171,11 +217,11 @@ class Simulation:
         per-frame NaN guard logs numerical blowup instead of the
         reference's silent kernel-skip (nuclear_forces.py:222-224).
         """
-        num_steps = self.cfg.num_substeps(frame_dt, self.time_scale)
+        num_steps, eff_dt = self._schedule(frame_dt)
         self.substeps_used = num_steps
         try:
             fn = make_frame_fn(self.cfg, num_steps, batched=self.batched)
-            self.state, metrics = fn(self.state, self.time_scale, frame_dt)
+            self.state, metrics = fn(self.state, self.time_scale, frame_dt, eff_dt)
         except Exception:
             if self.cfg.force_backend == "pallas":
                 logger.exception("pallas backend failed; falling back to jnp")
@@ -184,7 +230,7 @@ class Simulation:
                     self.cfg.z, self.cfg.n, pad_to=self.pad_to, force_backend="jnp"
                 )
                 fn = make_frame_fn(self.cfg, num_steps, batched=self.batched)
-                self.state, metrics = fn(self.state, self.time_scale, frame_dt)
+                self.state, metrics = fn(self.state, self.time_scale, frame_dt, eff_dt)
             else:
                 raise
         if bool(np.any(np.asarray(metrics["nan"]))):
@@ -291,6 +337,8 @@ class Simulation:
             time_passed=float(st.time_passed),
             time_scale=self.time_scale,
             substeps=self.substeps_used,
+            physics_dt=self.physics_dt,
+            auto_adjust=self.auto_adjust_substeps,
             zoom=self.zoom,
             backend=self.cfg.force_backend,
         )
@@ -368,6 +416,10 @@ class Simulation:
         sim.time_scale = 1.0
         sim.frame_count = 0
         sim.substeps_used = 0
+        sim.physics_dt = cfg.physics_dt
+        sim.accuracy = cfg.accuracy
+        sim.max_substeps = cfg.max_substeps
+        sim.auto_adjust_substeps = False
         sim.camera = [cfg.origin_x, cfg.origin_y]
         sim.camera_target = list(sim.camera)
         sim.zoom = 15.0
