@@ -63,6 +63,29 @@ def bench_python_reference(z=92, n=146, steps=3):
     return steps / (time.perf_counter() - t0)
 
 
+def bench_halflife_accuracy(batch=32768, frames=20):
+    """BASELINE acceptance bar: C-14 ensemble half-life within 1%.
+
+    Runs `batch` C-14 nuclei for 2 tabulated half-lives and MLE-fits the
+    half-life from the survivor count. Statistical error at this ensemble
+    size is ~0.7%, so a healthy run lands within 1%.
+    """
+    import math
+
+    hl_true = 5730 * 31557600.0
+    cfg = SimConfig.for_isotope(6, 8, pad_to=8)
+    states = ensemble_init(cfg, batch, seed=0)
+    fn = make_frame_fn(cfg, 10, batched=True)
+    sim_dt = 0.1 * hl_true  # per frame, over 10 substeps
+    for _ in range(frames):
+        states, m = fn(states, sim_dt, 1.0)
+    surv = float(
+        np.asarray((m["z"] == 6) & (m["n"] == 8)).sum()
+    ) / batch
+    fit_hl = math.log(2) * (frames * sim_dt) / -math.log(max(surv, 1e-9))
+    return abs(fit_hl - hl_true) / hl_true
+
+
 def bench_render(fps_frames=5):
     from pyqmd_tpu.render import render_frame
 
@@ -105,6 +128,11 @@ def main():
         extras["render_fps_800x600"] = round(bench_render(), 1)
     except Exception as e:
         extras["render_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    try:
+        extras["c14_halflife_rel_error_32k"] = round(bench_halflife_accuracy(), 5)
+    except Exception as e:
+        extras["halflife_error"] = f"{type(e).__name__}: {e}"[:200]
 
     best_key = max(
         (k for k in results if k.endswith("b10240")),

@@ -118,6 +118,7 @@ HELP = """commands (reference keybinding in brackets):
   chain           show decay chain                   [decay-chain panel]
   status          show info panel
   show            ASCII view of the nucleus          [main viewport]
+  watch [SECS]    live 60fps ASCII view              [run loop]
   render PATH     write PNG of current frame
   save/load PATH  checkpoint
   quit            exit                               [ESC]
@@ -215,6 +216,24 @@ def interactive(sim: Simulation) -> None:
                 print_status(sim)
             elif cmd == "show":
                 print(sim.render_ascii())
+            elif cmd == "watch":
+                # Real-time loop at ~60 fps with live ASCII refresh — the
+                # run-loop analog (nuclear_sim.py:589-606). Ctrl-C to stop.
+                import time as _time
+
+                seconds = float(args[0]) if args else 5.0
+                t_end = _time.time() + seconds
+                try:
+                    while _time.time() < t_end:
+                        t0 = _time.time()
+                        sim.frame()
+                        art = sim.render_ascii(width=64, height=24)
+                        print("\033[2J\033[H" + art)
+                        print(f"{sim.isotope}  ts={sim.time_scale:g}  "
+                              f"substeps={sim.substeps_used}")
+                        _time.sleep(max(0.0, 1 / 60 - (_time.time() - t0)))
+                except KeyboardInterrupt:
+                    pass
             elif cmd == "render":
                 from pyqmd_tpu.render import write_png
 

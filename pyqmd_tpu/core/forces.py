@@ -51,16 +51,16 @@ def pair_net_force(dist, dist2, is_pp, is_same, cfg: SimConfig):
     overlap = jnp.maximum(min_allowed - dist, 0.0)
     f = -cfg.hard_core_strength * (overlap / min_allowed) ** 1.5
 
-    # Piecewise strong force.
+    # Piecewise strong force. The attract and tail branches share one exp by
+    # selecting the exponent scale first: exp(-r) vs exp(-1.8r) — halves the
+    # kernel's dominant transcendental count with bitwise-identical results.
     r_ratio = dist / cfg.strong_range
+    in_attract = dist < cfg.strong_attract_cut
+    amp = jnp.where(in_attract, 1.25 * s, 0.15 * s)
+    k = jnp.where(in_attract, 1.0, 1.8)
+    outer = amp * jnp.exp(-r_ratio * k) / (dist + eps)
     core = -0.7 * s / (dist2 + eps)
-    attract = 1.25 * s * jnp.exp(-r_ratio) / (dist + eps)
-    tail = 0.15 * s * jnp.exp(-r_ratio * 1.8) / (dist + eps)
-    f = f + jnp.where(
-        dist < cfg.strong_core_cut,
-        core,
-        jnp.where(dist < cfg.strong_attract_cut, attract, tail),
-    )
+    f = f + jnp.where(dist < cfg.strong_core_cut, core, outer)
 
     # Coulomb repulsion, proton-proton only.
     f = f - jnp.where(is_pp, cfg.coulomb_strength / (dist2 + eps), 0.0)

@@ -80,15 +80,14 @@ def _force_kernel(
         overlap = jnp.maximum(min_allowed - dist, 0.0) / min_allowed
         f = -cfg.hard_core_strength * overlap * jnp.sqrt(overlap)  # x**1.5
 
+        # Single-exp piecewise strong force (same trick as the jnp oracle).
         r_ratio = dist / cfg.strong_range
+        in_attract = dist < cfg.strong_attract_cut
+        amp = jnp.where(in_attract, 1.25 * s, 0.15 * s)
+        k = jnp.where(in_attract, 1.0, 1.8)
+        outer = amp * jnp.exp(-r_ratio * k) / (dist + eps)
         core = -0.7 * s / (dist2 + eps)
-        attract = 1.25 * s * jnp.exp(-r_ratio) / (dist + eps)
-        tail = 0.15 * s * jnp.exp(-r_ratio * 1.8) / (dist + eps)
-        f = f + jnp.where(
-            dist < cfg.strong_core_cut,
-            core,
-            jnp.where(dist < cfg.strong_attract_cut, attract, tail),
-        )
+        f = f + jnp.where(dist < cfg.strong_core_cut, core, outer)
 
         is_pp = isp[:, None] * isp[None, :]
         f = f - is_pp * (cfg.coulomb_strength / (dist2 + eps))
@@ -100,13 +99,14 @@ def _force_kernel(
         f = jnp.clip(f, -cfg.max_pair_force, cfg.max_pair_force)
         g = pair * f / dist  # per-pair magnitude / distance
 
-        # Force accumulation as matvecs on the MXU:
-        # Fx_i = sum_j g_ij (x_j - x_i) = (g @ x)_i - x_i * rowsum(g)_i.
-        gx = jnp.dot(g, x[:, None], preferred_element_type=jnp.float32)[:, 0]
-        gy = jnp.dot(g, y[:, None], preferred_element_type=jnp.float32)[:, 0]
-        gs = jnp.sum(g, axis=1)
-        fx = gx - x * gs
-        fy = gy - y * gs
+        # Accumulate on the VPU against *relative* offsets. (An MXU matvec
+        # of g @ x against absolute coordinates cancels catastrophically at
+        # matmul precision — x ~ 400 while the result is O(10).)
+        # g is symmetric and dx antisymmetric, so the row sum equals the
+        # negated column sum — reduce along axis 0 (sublanes), which is far
+        # cheaper on TPU than a cross-lane reduction.
+        fx = -jnp.sum(g * dx, axis=0)
+        fy = -jnp.sum(g * dy, axis=0)
 
         # CoM containment spring (nuclear_forces.py:144-154).
         cdx = cx - x
