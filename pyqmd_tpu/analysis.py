@@ -1,0 +1,109 @@
+"""Ensemble analysis: survival curves, decay statistics, half-life fits.
+
+The reference can only watch one nucleus decay at a time
+(/root/reference/nuclear_sim.py:48); the population-statistics workflow —
+N independent nuclei, survival fraction vs exp(-lambda t), half-life
+estimation — is the TPU build's headline capability (BASELINE north star:
+C-14 ensemble half-life within 1% of the tabulated value).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+import jax
+
+from pyqmd_tpu.config import SimConfig
+from pyqmd_tpu.core.init import ensemble_init
+from pyqmd_tpu.core.step import make_frame_fn
+from pyqmd_tpu.data.tables import half_life_host
+
+
+@dataclasses.dataclass
+class SurvivalResult:
+    """Survival-curve measurement for one isotope ensemble."""
+
+    z: int
+    n: int
+    batch: int
+    times: np.ndarray  # (F+1,) sim seconds
+    survival: np.ndarray  # (F+1,) fraction still the initial isotope
+    decay_counts: np.ndarray  # (NUM_DECAY_TYPES,) totals at the end
+    tabulated_half_life: float
+    fitted_half_life: float
+
+    @property
+    def rel_error(self) -> float:
+        if not math.isfinite(self.tabulated_half_life):
+            return float("nan")
+        return abs(self.fitted_half_life - self.tabulated_half_life) / (
+            self.tabulated_half_life
+        )
+
+    def to_csv(self) -> str:
+        lines = ["time_s,survival"]
+        lines += [f"{t},{s}" for t, s in zip(self.times, self.survival)]
+        return "\n".join(lines) + "\n"
+
+
+def survival_curve(
+    z: int,
+    n: int,
+    batch: int = 4096,
+    frames: int = 20,
+    half_lives: float = 2.0,
+    substeps: int = 10,
+    seed: int = 0,
+    pad_to: int = 8,
+) -> SurvivalResult:
+    """Run a `batch`-nucleus ensemble of isotope (z, n) for `half_lives`
+    tabulated half-lives and record the survival curve.
+
+    The MLE half-life fit uses the endpoint survivor count:
+    ``T = ln2 * t_end / -ln(S)``.
+    """
+    hl = half_life_host(z, n)
+    if not math.isfinite(hl):
+        raise ValueError(f"isotope ({z},{n}) is stable; no half-life to measure")
+    cfg = SimConfig.for_isotope(z, n, pad_to=pad_to)
+    states = ensemble_init(cfg, batch, seed=seed)
+    fn = make_frame_fn(cfg, substeps, batched=True)
+    sim_dt = half_lives * hl / frames
+
+    times = [0.0]
+    survival = [1.0]
+    m = None
+    for f in range(frames):
+        states, m = fn(states, sim_dt, 1.0)
+        alive = int(np.asarray((m["z"] == z) & (m["n"] == n)).sum())
+        times.append((f + 1) * sim_dt)
+        survival.append(alive / batch)
+
+    s_end = max(survival[-1], 1e-12)
+    fitted = math.log(2) * times[-1] / -math.log(s_end)
+    return SurvivalResult(
+        z=z,
+        n=n,
+        batch=batch,
+        times=np.asarray(times),
+        survival=np.asarray(survival),
+        decay_counts=np.asarray(m["total_decay_counts"]),
+        tabulated_half_life=hl,
+        fitted_half_life=fitted,
+    )
+
+
+def decay_rate_summary(result: SurvivalResult) -> dict:
+    """Compact JSON-able summary of a survival run."""
+    return {
+        "isotope": f"{result.z}:{result.n}",
+        "batch": result.batch,
+        "tabulated_half_life_s": result.tabulated_half_life,
+        "fitted_half_life_s": result.fitted_half_life,
+        "rel_error": result.rel_error,
+        "final_survival": float(result.survival[-1]),
+        "decay_counts": result.decay_counts.tolist(),
+    }

@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--profile", metavar="LOGDIR",
         help="capture a jax.profiler trace of the run into LOGDIR",
     )
+    p.add_argument(
+        "--survival", metavar="CSV",
+        help="ensemble mode: run a survival-curve measurement over "
+        "--half-lives tabulated half-lives, write CSV, print the fit",
+    )
+    p.add_argument("--half-lives", type=float, default=2.0)
     p.add_argument("-q", "--quiet", action="store_true")
     return p
 
@@ -260,6 +266,22 @@ def main(argv: list[str] | None = None) -> int:
         level=logging.WARNING if args.quiet else logging.INFO,
         format="%(asctime)s - %(levelname)s - %(message)s",
     )
+
+    if args.survival:
+        from pyqmd_tpu.analysis import decay_rate_summary, survival_curve
+
+        z, n = parse_isotope(args.isotope)
+        res = survival_curve(
+            z, n,
+            batch=args.ensemble or 4096,
+            frames=args.frames if args.frames != 600 else 20,
+            half_lives=args.half_lives,
+            seed=args.seed,
+        )
+        with open(args.survival, "w") as f:
+            f.write(res.to_csv())
+        print(json.dumps(decay_rate_summary(res)))
+        return 0
 
     if args.load:
         sim = Simulation.load(args.load)

@@ -1,0 +1,37 @@
+"""Analysis module tests: survival curves and half-life fits."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pyqmd_tpu.analysis import decay_rate_summary, survival_curve
+
+
+def test_survival_curve_c14():
+    res = survival_curve(6, 8, batch=1024, frames=10, half_lives=1.0, seed=0)
+    assert res.times.shape == (11,)
+    assert res.survival[0] == 1.0
+    # Monotone non-increasing.
+    assert np.all(np.diff(res.survival) <= 0)
+    # One half-life: ~50% survive.
+    assert abs(res.survival[-1] - 0.5) < 0.06
+    assert res.rel_error < 0.15
+    # All decays are beta-minus (C-14 -> N-14).
+    assert res.decay_counts[2] == round((1 - res.survival[-1]) * 1024)
+    s = decay_rate_summary(res)
+    assert s["isotope"] == "6:8"
+    csv = res.to_csv()
+    assert csv.startswith("time_s,survival")
+    assert len(csv.strip().splitlines()) == 12
+
+
+def test_survival_rejects_stable():
+    with pytest.raises(ValueError):
+        survival_curve(2, 2)  # He-4
+
+
+def test_survival_deterministic():
+    a = survival_curve(6, 8, batch=256, frames=5, seed=3)
+    b = survival_curve(6, 8, batch=256, frames=5, seed=3)
+    np.testing.assert_array_equal(a.survival, b.survival)
