@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from pyqmd_tpu.config import SimConfig
@@ -127,8 +128,13 @@ def force_step(pos, vel, ptype, alive, dt, cfg: SimConfig):
     """One fused force + integrate substep (nuclear_forces.py:156-171).
 
     Semi-implicit Euler: v += F*dt; v *= damping; x += v*dt.
-    Dead slots pass through unchanged.
+    Dead slots pass through unchanged. Accepts (P, 2) or batched (B, P, 2)
+    state (same contract as the Pallas backend).
     """
+    if pos.ndim == 3:
+        return jax.vmap(lambda p, v, t, a: force_step(p, v, t, a, dt, cfg))(
+            pos, vel, ptype, alive
+        )
     force = compute_forces(pos, ptype, alive, cfg)
     new_vel = (vel + force * dt) * cfg.damping
     new_pos = pos + new_vel * dt

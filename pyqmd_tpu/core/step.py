@@ -156,16 +156,71 @@ def ensemble_step(
 ) -> tuple[NucleusState, dict]:
     """Batched frame over a leading ensemble axis (SURVEY §2 P1).
 
+    Not simply ``vmap(simulate_frame)``: the per-nucleus parts (ejecta,
+    decay, overlap) are vmapped, but the force step is called *batch-native*
+    so the Pallas kernel sees the whole (B, P) ensemble and tiles it onto
+    its grid — under vmap each nucleus would be padded to a full batch tile
+    (8x wasted work). Per-nucleus PRNG key derivation matches
+    :func:`simulate_frame` exactly, so results are bitwise-identical to the
+    vmapped form for a given force backend.
+
     Per-nucleus metrics keep their batch axis; aggregate decay statistics
     are summed on device so host readback is O(1) regardless of ensemble
     size.
     """
-    batched, metrics = jax.vmap(
-        lambda s: simulate_frame(s, cfg, time_scale, frame_dt, num_steps, physics_dt)
-    )(states)
+    time_scale = jnp.asarray(time_scale, jnp.float32)
+    frame_dt = jnp.asarray(frame_dt, jnp.float32)
+    if physics_dt is None:
+        physics_dt = cfg.effective_dt()
+    desired_dt = frame_dt * time_scale
+    states = states.replace(time_passed=states.time_passed + desired_dt)
+
+    dyn = FrameDynamics(
+        time_scale=time_scale,
+        substeps=jnp.asarray(float(num_steps), jnp.float32),
+        physics_dt=jnp.asarray(physics_dt, jnp.float32),
+        step_time=desired_dt / num_steps,
+    )
+
+    base = jax.vmap(jax.random.wrap_key_data)(states.rng)
+    k3 = jax.vmap(lambda k: jax.random.split(k, 3))(base)  # (B, 3)
+    step_keys = jax.vmap(lambda k: jax.random.split(k, num_steps))(k3[:, 0])
+    step_keys = jnp.swapaxes(step_keys, 0, 1)  # (S, B) keys
+
+    fstep = select_force_step(cfg)
+
+    def body(st, keys):
+        st = jax.vmap(lambda s: advance_ejecta(s, cfg, dyn))(st)
+        st = jax.vmap(lambda s, k: maybe_decay(s, cfg, k, dyn)[0])(st, keys)
+        pos, vel = fstep(st.pos, st.vel, st.ptype, st.alive, dyn.physics_dt, cfg)
+        return st.replace(pos=pos, vel=vel), None
+
+    states, _ = jax.lax.scan(body, states, step_keys)
+
+    pos = jax.vmap(lambda p, a, k: resolve_overlaps(p, a, k, cfg))(
+        states.pos, states.alive, k3[:, 1]
+    )
+    states = states.replace(
+        pos=pos,
+        rng=jax.vmap(lambda k: jax.random.key_data(k).astype(jnp.uint32))(k3[:, 2]),
+    )
+
+    metrics = {
+        "nan": ~jnp.all(
+            jnp.isfinite(states.pos) & jnp.isfinite(states.vel), axis=(-1, -2)
+        ),
+        "alive": states.alive_count(),
+        "z": states.z,
+        "n": states.n,
+        "half_life": states.half_life,
+        "decay_counts": states.decay_counts,
+        "time_passed": states.time_passed,
+        "com": states.center_of_mass(),
+        "chain_cursor": states.chain_cursor,
+    }
     metrics["total_decay_counts"] = jnp.sum(metrics["decay_counts"], axis=0)
     metrics["total_alive"] = jnp.sum(metrics["alive"])
-    return batched, metrics
+    return states, metrics
 
 
 @functools.lru_cache(maxsize=128)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from pyqmd_tpu.config import SimConfig
-from pyqmd_tpu.core.step import simulate_frame
+from pyqmd_tpu.core.step import ensemble_step
 from pyqmd_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -30,19 +30,20 @@ def make_sharded_frame_fn(cfg: SimConfig, num_steps: int, mesh, axis: str = DATA
     """
 
     def local_frame(states, time_scale, frame_dt):
-        # Each device vmaps over its local batch shard.
-        new_states, metrics = jax.vmap(
-            lambda s: simulate_frame(s, cfg, time_scale, frame_dt, num_steps)
-        )(states)
-        local_counts = jnp.sum(metrics["decay_counts"], axis=0)
-        local_alive = jnp.sum(metrics["alive"])
+        # Each device runs the batch-native ensemble step on its local
+        # shard; aggregate statistics are psum'd over the mesh axis.
+        new_states, metrics = ensemble_step(
+            states, cfg, time_scale, frame_dt, num_steps
+        )
         # Survivors: nuclei still in their initial isotope (used by the
         # half-life statistics bench/tests).
         local_surv = jnp.sum(
             ((metrics["z"] == cfg.z) & (metrics["n"] == cfg.n)).astype(jnp.int32)
         )
-        metrics["total_decay_counts"] = jax.lax.psum(local_counts, axis)
-        metrics["total_alive"] = jax.lax.psum(local_alive, axis)
+        metrics["total_decay_counts"] = jax.lax.psum(
+            metrics["total_decay_counts"], axis
+        )
+        metrics["total_alive"] = jax.lax.psum(metrics["total_alive"], axis)
         metrics["survivors"] = jax.lax.psum(local_surv, axis)
         return new_states, metrics
 

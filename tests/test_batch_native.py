@@ -1,0 +1,30 @@
+"""Batch-native ensemble_step must equal vmap(simulate_frame) bitwise
+(same per-nucleus PRNG derivation, same physics ops per nucleus)."""
+
+import jax
+import numpy as np
+
+from pyqmd_tpu.config import SimConfig
+from pyqmd_tpu.core.init import ensemble_init
+from pyqmd_tpu.core.step import ensemble_step, simulate_frame
+
+
+def test_ensemble_step_matches_vmapped_simulate_frame():
+    cfg = SimConfig.for_isotope(6, 8, pad_to=8)
+    states = ensemble_init(cfg, 16, seed=0)
+
+    vs, vm = jax.jit(
+        jax.vmap(lambda s: simulate_frame(s, cfg, 3.0e10, 1.0, 3))
+    )(states)
+    bs, bm = jax.jit(lambda s: ensemble_step(s, cfg, 3.0e10, 1.0, 3))(states)
+
+    for name in ("pos", "vel", "alive", "ptype", "z", "n", "half_life",
+                 "decay_counts", "ej_pos", "ej_alive", "rng", "chain_cursor"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(vs, name)), np.asarray(getattr(bs, name)),
+            err_msg=name,
+        )
+    np.testing.assert_array_equal(np.asarray(vm["alive"]), np.asarray(bm["alive"]))
+    np.testing.assert_array_equal(
+        np.asarray(vm["decay_counts"]), np.asarray(bm["decay_counts"])
+    )
