@@ -14,8 +14,6 @@ import math
 
 import numpy as np
 
-import jax
-
 from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.core.init import ensemble_init
 from pyqmd_tpu.core.step import make_frame_fn

@@ -19,10 +19,8 @@ import json
 import logging
 import sys
 
-import numpy as np
-
 from pyqmd_tpu.data.elements import isotope_label, parse_isotope
-from pyqmd_tpu.sim import ISOTOPE_KEYMAP, TIME_SCALE_PRESETS, Simulation
+from pyqmd_tpu.sim import ISOTOPE_KEYMAP, Simulation
 from pyqmd_tpu.state import DECAY_TYPE_NAMES
 from pyqmd_tpu.utils.format import (
     format_half_life,

@@ -32,13 +32,9 @@ from pyqmd_tpu.data import tables
 from pyqmd_tpu.state import (
     ALPHA,
     BASE_LIFETIMES,
-    DECAY_ALPHA,
     DECAY_BETA_MINUS,
     DECAY_BETA_PLUS,
-    DECAY_GAMMA,
-    DECAY_NEUTRON_EMISSION,
     DECAY_NONE,
-    DECAY_PROTON_EMISSION,
     DECAY_SPONTANEOUS_FISSION,
     EJECTA_SPEEDS,
     ELECTRON,

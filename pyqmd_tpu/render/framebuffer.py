@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.state import (
     NEUTRON,
     PARTICLE_COLORS,

@@ -23,7 +23,7 @@ from pyqmd_tpu.core.dynamics import FrameDynamics
 from pyqmd_tpu.core.init import ensemble_init, init_state
 from pyqmd_tpu.core.step import make_frame_fn
 from pyqmd_tpu.data.elements import element_symbol, isotope_label
-from pyqmd_tpu.state import DECAY_SYMBOLS, NucleusState
+from pyqmd_tpu.state import DECAY_SYMBOLS
 from pyqmd_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from pyqmd_tpu.utils.format import format_time_value_with_unit
 
