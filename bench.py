@@ -116,6 +116,21 @@ def main():
         except Exception as e:  # a backend failing must not kill the bench
             extras[f"{backend}_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # 64k-nucleus config (BASELINE bench matrix) on the faster backend.
+    best10k = max(
+        (k for k in results if k.endswith("b10240")),
+        key=lambda k: results[k],
+        default=None,
+    )
+    if best10k:
+        backend = best10k.split("_")[1]
+        try:
+            v = bench_ensemble(92, 146, 65536, backend, frames=2)
+            extras[f"u238_{backend}_b65536_nucleus_substeps_per_sec"] = round(v)
+            results[f"u238_{backend}_b65536"] = v
+        except Exception as e:
+            extras["b65536_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # He-4 small-nucleus throughput (tiny-pad fast path).
     try:
         extras["he4_jnp_b10240_nucleus_substeps_per_sec"] = round(

@@ -47,10 +47,10 @@ def pair_net_force(dist, dist2, is_pp, is_same, cfg: SimConfig):
     eps = cfg.epsilon
     s = cfg.strong_strength
 
-    # Hard-core repulsion.
+    # Hard-core repulsion. x**1.5 as x*sqrt(x) (cheaper than a pow lowering).
     min_allowed = cfg.nucleon_radius * cfg.hard_core_scale
-    overlap = jnp.maximum(min_allowed - dist, 0.0)
-    f = -cfg.hard_core_strength * (overlap / min_allowed) ** 1.5
+    overlap = jnp.maximum(min_allowed - dist, 0.0) / min_allowed
+    f = -cfg.hard_core_strength * overlap * jnp.sqrt(overlap)
 
     # Piecewise strong force. The attract and tail branches share one exp by
     # selecting the exponent scale first: exp(-r) vs exp(-1.8r) — halves the
