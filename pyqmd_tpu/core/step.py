@@ -135,6 +135,8 @@ def simulate_frame(
         # here numerical blowup is surfaced as a metric the driver checks.
         "nan": ~jnp.all(jnp.isfinite(state.pos) & jnp.isfinite(state.vel)),
         "alive": state.alive_count(),
+        "kinetic": 0.5
+        * jnp.sum(jnp.sum(state.vel * state.vel, axis=-1) * state.alive, axis=-1),
         "z": state.z,
         "n": state.n,
         "half_life": state.half_life,
@@ -210,6 +212,8 @@ def ensemble_step(
             jnp.isfinite(states.pos) & jnp.isfinite(states.vel), axis=(-1, -2)
         ),
         "alive": states.alive_count(),
+        "kinetic": 0.5
+        * jnp.sum(jnp.sum(states.vel * states.vel, axis=-1) * states.alive, axis=-1),
         "z": states.z,
         "n": states.n,
         "half_life": states.half_life,

@@ -74,7 +74,9 @@ def _force_kernel(
             * (1.0 - eye)
             * (dist2 >= 0.01).astype(jnp.float32)
         )
-        dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+        # One rsqrt yields both dist and 1/dist (saves the g = f/dist divide).
+        inv_dist = jax.lax.rsqrt(jnp.maximum(dist2, 1e-12))
+        dist = dist2 * inv_dist
 
         # Pair force terms (nuclear_forces.py:100-137).
         overlap = jnp.maximum(min_allowed - dist, 0.0) / min_allowed
@@ -97,7 +99,7 @@ def _force_kernel(
         f = f - jnp.where(dist < cfg.pauli_range, same * pauli, 0.0)
 
         f = jnp.clip(f, -cfg.max_pair_force, cfg.max_pair_force)
-        g = pair * f / dist  # per-pair magnitude / distance
+        g = pair * f * inv_dist  # per-pair magnitude / distance
 
         # Accumulate on the VPU against *relative* offsets. (An MXU matvec
         # of g @ x against absolute coordinates cancels catastrophically at

@@ -57,6 +57,7 @@ def make_sharded_frame_fn(cfg: SimConfig, num_steps: int, mesh, axis: str = DATA
             {
                 "nan": state_spec,
                 "alive": state_spec,
+                "kinetic": state_spec,
                 "z": state_spec,
                 "n": state_spec,
                 "half_life": state_spec,
