@@ -17,11 +17,21 @@ is included in extras for honesty — no OpenCL GPU exists on this machine.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
+
+# Persistent compilation cache: TPU compiles go through a slow remote
+# helper (~1-4 min per jit variant); the cache makes warm re-runs of this
+# bench near-instant on compiles.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.core.forces import force_step_scalar
@@ -43,7 +53,7 @@ def bench_ensemble(z, n, batch, backend, frames=5, pad_to=128):
     t0 = time.perf_counter()
     for _ in range(frames):
         states, m = fn(states, 1.0, FRAME_DT)
-    jax.block_until_ready(states)
+        jax.block_until_ready(states)  # per-frame fence: robust wall-clock
     dt = time.perf_counter() - t0
     return frames * NUM_STEPS * batch / dt
 

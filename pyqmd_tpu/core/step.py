@@ -148,6 +148,33 @@ def simulate_frame(
     return state, metrics
 
 
+def _batched_overlap(pos, alive, keys, cfg: SimConfig, max_chunk: int = 1024):
+    """Overlap resolution over a batch, chunked with ``lax.map``.
+
+    A plain vmap materializes ~10 (B, P, P) temporaries — 17 GB each at a
+    64k ensemble — so batches beyond ``max_chunk`` are processed in
+    sequential chunks (the pass is ~1/20th of a frame's work; latency is
+    immaterial).
+    """
+    f = jax.vmap(lambda p, a, k: resolve_overlaps(p, a, k, cfg))
+    b = pos.shape[0]
+    chunk = min(b, max_chunk)
+    while b % chunk:
+        chunk -= 1
+    if chunk == b:
+        return f(pos, alive, keys)
+    n = b // chunk
+    out = jax.lax.map(
+        lambda args: f(*args),
+        (
+            pos.reshape(n, chunk, *pos.shape[1:]),
+            alive.reshape(n, chunk, *alive.shape[1:]),
+            keys.reshape(n, chunk, *keys.shape[1:]),
+        ),
+    )
+    return out.reshape(b, *pos.shape[1:])
+
+
 def ensemble_step(
     states: NucleusState,
     cfg: SimConfig,
@@ -199,9 +226,7 @@ def ensemble_step(
 
     states, _ = jax.lax.scan(body, states, step_keys)
 
-    pos = jax.vmap(lambda p, a, k: resolve_overlaps(p, a, k, cfg))(
-        states.pos, states.alive, k3[:, 1]
-    )
+    pos = _batched_overlap(states.pos, states.alive, k3[:, 1], cfg)
     states = states.replace(
         pos=pos,
         rng=jax.vmap(lambda k: jax.random.key_data(k).astype(jnp.uint32))(k3[:, 2]),

@@ -28,3 +28,21 @@ def test_ensemble_step_matches_vmapped_simulate_frame():
     np.testing.assert_array_equal(
         np.asarray(vm["decay_counts"]), np.asarray(bm["decay_counts"])
     )
+
+
+def test_chunked_overlap_matches_vmap():
+    """lax.map-chunked overlap (the 64k OOM fix) matches plain vmap to ulp."""
+    import jax
+    from pyqmd_tpu.core.overlap import resolve_overlaps
+    from pyqmd_tpu.core.step import _batched_overlap
+
+    cfg = SimConfig.for_isotope(6, 8, pad_to=8)
+    st = ensemble_init(cfg, 12, seed=0)
+    keys = jax.random.split(jax.random.PRNGKey(1), 12)
+    full = jax.vmap(lambda p, a, k: resolve_overlaps(p, a, k, cfg))(
+        st.pos, st.alive, keys
+    )
+    chunked = _batched_overlap(st.pos, st.alive, keys, cfg, max_chunk=4)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(chunked), rtol=0, atol=1e-4
+    )
