@@ -40,7 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--isotope", default="U-238", help="e.g. U-238, C14, 92:146")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--frames", type=int, default=600, help="frames to simulate")
+    p.add_argument(
+        "--frames", "--steps", dest="frames", type=int, default=600,
+        help="frames to simulate",
+    )
     p.add_argument("--frame-dt", type=float, default=1 / 60, help="wall seconds per frame")
     p.add_argument(
         "--time-scale",
@@ -121,7 +124,7 @@ HELP = """commands (reference keybinding in brackets):
   substeps N      set max substeps per frame         [-/+]
   chain           show decay chain                   [decay-chain panel]
   status          show info panel
-  show            ASCII view of the nucleus          [main viewport]
+  show [ascii]    color/ASCII view of the nucleus    [main viewport]
   watch [SECS]    live 60fps ASCII view              [run loop]
   render PATH     write PNG of current frame
   save/load PATH  checkpoint
@@ -219,7 +222,10 @@ def interactive(sim: Simulation) -> None:
             elif cmd == "status":
                 print_status(sim)
             elif cmd == "show":
-                print(sim.render_ascii())
+                if args and args[0] == "ascii":
+                    print(sim.render_ascii())
+                else:
+                    print(sim.render_ansi())
             elif cmd == "watch":
                 # Real-time loop at ~60 fps with live ASCII refresh — the
                 # run-loop analog (nuclear_sim.py:589-606). Ctrl-C to stop.
@@ -231,7 +237,7 @@ def interactive(sim: Simulation) -> None:
                     while _time.time() < t_end:
                         t0 = _time.time()
                         sim.frame()
-                        art = sim.render_ascii(width=64, height=24)
+                        art = sim.render_ansi(width=64, height=44)
                         print("\033[2J\033[H" + art)
                         print(f"{sim.isotope}  ts={sim.time_scale:g}  "
                               f"substeps={sim.substeps_used}")

@@ -355,10 +355,9 @@ class Simulation:
             state = jax.tree.map(lambda a: a[index], state)
         return render_to_host(state, tuple(self.camera), self.zoom, width, height)
 
-    def render_ascii(self, width: int = 72, height: int = 30, index: int = 0) -> str:
-        """Terminal view: the interactive-display analog for the REPL.
-        Protons 'o', neutrons '.', ejecta by type letter. Fits the view to
-        the nucleus (unlike render(), which uses the interactive camera)."""
+    def _render_fit(self, width: int, height: int, index: int = 0):
+        """Render with the view fitted to the nucleus extent (the REPL
+        viewport; render() uses the interactive camera instead)."""
         from pyqmd_tpu.render import render_to_host
 
         state = self.state
@@ -372,9 +371,21 @@ class Simulation:
         else:
             com, extent = np.array([self.cfg.origin_x, self.cfg.origin_y]), 10.0
         zoom = 0.45 * min(width, height) / extent
-        img = render_to_host(
+        return render_to_host(
             state, (float(com[0]), float(com[1])), zoom, width, height, ruler=False
         )
+
+    def render_ansi(self, width: int = 72, height: int = 48, index: int = 0) -> str:
+        """Truecolor terminal view (two pixels per character row)."""
+        from pyqmd_tpu.render.ansi import ansi_render
+
+        return ansi_render(self._render_fit(width, height, index))
+
+    def render_ascii(self, width: int = 72, height: int = 30, index: int = 0) -> str:
+        """Terminal view: the interactive-display analog for the REPL.
+        Protons 'o', neutrons '.', ejecta by type letter. Fits the view to
+        the nucleus (unlike render(), which uses the interactive camera)."""
+        img = self._render_fit(width, height, index)
         # Classify by dominant channel of the rasterized pixel.
         chars = []
         for row in img[::1]:
