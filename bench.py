@@ -73,6 +73,25 @@ def bench_python_reference(z=92, n=146, steps=3):
     return steps / (time.perf_counter() - t0)
 
 
+def bench_fused_single(backend="pallas", frames_per_dispatch=50, reps=4):
+    """Single-nucleus throughput with frame-fused dispatch (the reference's
+    literal workload: one U-238 nucleus). One jit dispatch = 50 frames x 20
+    substeps, amortizing host/tunnel latency."""
+    from pyqmd_tpu.core.step import make_run_fn
+
+    cfg = SimConfig.for_isotope(92, 146, pad_to=128, force_backend=backend)
+    state = init_state(cfg, seed=0)
+    fn = make_run_fn(cfg, NUM_STEPS, frames_per_dispatch)
+    state, m = fn(state, 1.0, FRAME_DT)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, m = fn(state, 1.0, FRAME_DT)
+        jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    return reps * frames_per_dispatch * NUM_STEPS / dt
+
+
 def bench_halflife_accuracy(batch=32768, frames=20):
     """BASELINE acceptance bar: C-14 ensemble half-life within 1%.
 
@@ -158,6 +177,11 @@ def main():
         extras["c14_halflife_rel_error_32k"] = round(bench_halflife_accuracy(), 5)
     except Exception as e:
         extras["halflife_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    try:
+        extras["u238_b1_fused_substeps_per_sec"] = round(bench_fused_single())
+    except Exception as e:
+        extras["fused_error"] = f"{type(e).__name__}: {e}"[:200]
 
     best_key = max(
         (k for k in results if k.endswith("b10240")),

@@ -14,7 +14,9 @@ from pyqmd_tpu.core.step import (
     advance_ejecta,
     ensemble_step,
     make_frame_fn,
+    make_run_fn,
     simulate_frame,
+    state_metrics,
     substep,
 )
 
@@ -31,7 +33,9 @@ __all__ = [
     "force_step_scalar",
     "init_state",
     "make_frame_fn",
+    "make_run_fn",
     "maybe_decay",
+    "state_metrics",
     "placement_order",
     "resolve_overlaps",
     "simulate_frame",

@@ -128,12 +128,21 @@ def simulate_frame(
     state = state.replace(
         pos=pos, rng=jax.random.key_data(key_next).astype(jnp.uint32)
     )
+    return state, state_metrics(state)
 
-    metrics = {
-        # Step-level NaN guard (SURVEY §5 failure detection): the reference
-        # silently skips a failed kernel launch (nuclear_forces.py:222-224);
-        # here numerical blowup is surfaced as a metric the driver checks.
-        "nan": ~jnp.all(jnp.isfinite(state.pos) & jnp.isfinite(state.vel)),
+
+def state_metrics(state: NucleusState) -> dict:
+    """Observable metrics of a state; works unbatched or batched.
+
+    Includes the step-level NaN guard (SURVEY §5 failure detection): the
+    reference silently skips a failed kernel launch
+    (nuclear_forces.py:222-224); here numerical blowup is surfaced as a
+    metric the driver checks.
+    """
+    return {
+        "nan": ~jnp.all(
+            jnp.isfinite(state.pos) & jnp.isfinite(state.vel), axis=(-1, -2)
+        ),
         "alive": state.alive_count(),
         "kinetic": 0.5
         * jnp.sum(jnp.sum(state.vel * state.vel, axis=-1) * state.alive, axis=-1),
@@ -145,7 +154,6 @@ def simulate_frame(
         "com": state.center_of_mass(),
         "chain_cursor": state.chain_cursor,
     }
-    return state, metrics
 
 
 def _batched_overlap(pos, alive, keys, cfg: SimConfig, max_chunk: int = 1024):
@@ -232,24 +240,41 @@ def ensemble_step(
         rng=jax.vmap(lambda k: jax.random.key_data(k).astype(jnp.uint32))(k3[:, 2]),
     )
 
-    metrics = {
-        "nan": ~jnp.all(
-            jnp.isfinite(states.pos) & jnp.isfinite(states.vel), axis=(-1, -2)
-        ),
-        "alive": states.alive_count(),
-        "kinetic": 0.5
-        * jnp.sum(jnp.sum(states.vel * states.vel, axis=-1) * states.alive, axis=-1),
-        "z": states.z,
-        "n": states.n,
-        "half_life": states.half_life,
-        "decay_counts": states.decay_counts,
-        "time_passed": states.time_passed,
-        "com": states.center_of_mass(),
-        "chain_cursor": states.chain_cursor,
-    }
+    metrics = state_metrics(states)
     metrics["total_decay_counts"] = jnp.sum(metrics["decay_counts"], axis=0)
     metrics["total_alive"] = jnp.sum(metrics["alive"])
     return states, metrics
+
+
+@functools.lru_cache(maxsize=64)
+def make_run_fn(
+    cfg: SimConfig, num_steps: int, num_frames: int, batched: bool = False
+):
+    """Jit-compiled *fused* run: ``num_frames`` whole frames under one
+    ``lax.scan`` — one device dispatch for the whole stretch.
+
+    Amortizes per-frame dispatch (the single-nucleus path is dispatch-bound
+    otherwise) for throughput runs where the time scale is constant across
+    frames. Returns ``(state, last_metrics)``; the decay chain-log ring in
+    the state preserves every event for host-side draining afterwards.
+    """
+    fn = ensemble_step if batched else simulate_frame
+    default_pdt = cfg.effective_dt()
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(state, time_scale, frame_dt, physics_dt=default_pdt):
+        def body(st, _):
+            st, metrics = fn(st, cfg, time_scale, frame_dt, num_steps, physics_dt)
+            return st, None
+
+        state, _ = jax.lax.scan(body, state, None, length=num_frames)
+        metrics = state_metrics(state)
+        if batched:
+            metrics["total_decay_counts"] = jnp.sum(metrics["decay_counts"], axis=0)
+            metrics["total_alive"] = jnp.sum(metrics["alive"])
+        return state, metrics
+
+    return run
 
 
 @functools.lru_cache(maxsize=128)

@@ -245,10 +245,25 @@ class Simulation:
         self.last_metrics = metrics
         return metrics
 
-    def run(self, frames: int, frame_dt: float = 1.0 / 60.0):
-        for _ in range(frames):
-            m = self.frame(frame_dt)
-        return m
+    def run(self, frames: int, frame_dt: float = 1.0 / 60.0, fused: bool = False):
+        """Advance many frames. ``fused=True`` scans all frames inside one
+        jit dispatch (constant time scale) — the throughput mode; the
+        per-frame loop is the interactive mode (camera lerp, live logs)."""
+        if not fused:
+            for _ in range(frames):
+                m = self.frame(frame_dt)
+            return m
+        from pyqmd_tpu.core.step import make_run_fn
+
+        num_steps, eff_dt = self._schedule(frame_dt)
+        self.substeps_used = num_steps
+        fn = make_run_fn(self.cfg, num_steps, frames, batched=self.batched)
+        self.state, metrics = fn(self.state, self.time_scale, frame_dt, eff_dt)
+        self.frame_count += frames
+        if not self.batched:
+            self._drain_chain_log()
+        self.last_metrics = metrics
+        return metrics
 
     def force_decay(self):
         """SPACE-key forced decay (nuclear_sim.py:433-434)."""

@@ -46,3 +46,20 @@ def test_chunked_overlap_matches_vmap():
     np.testing.assert_allclose(
         np.asarray(full), np.asarray(chunked), rtol=0, atol=1e-4
     )
+
+
+def test_fused_run_matches_frame_loop():
+    """make_run_fn (frames fused under one scan) equals the per-frame loop."""
+    from pyqmd_tpu import Simulation
+
+    a = Simulation(z=6, n=8, seed=3, pad_to=8)
+    b = Simulation(z=6, n=8, seed=3, pad_to=8)
+    a.set_time_scale(3e10)
+    b.set_time_scale(3e10)
+    a.run(10)
+    b.run(10, fused=True)
+    np.testing.assert_array_equal(np.asarray(a.state.pos), np.asarray(b.state.pos))
+    np.testing.assert_array_equal(
+        np.asarray(a.state.decay_counts), np.asarray(b.state.decay_counts)
+    )
+    assert a.decay_log == b.decay_log
