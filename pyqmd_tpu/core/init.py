@@ -145,3 +145,28 @@ def ensemble_init(cfg: SimConfig, batch: int, seed: int = 0) -> NucleusState:
     """
     keys = jax.random.split(jax.random.PRNGKey(seed), batch)
     return jax.vmap(lambda k: _init_from_key(cfg, k))(keys)
+
+
+def mixed_ensemble_init(
+    cfg: SimConfig, species: list[tuple[int, int, int]], seed: int = 0
+) -> NucleusState:
+    """Build a mixed-population ensemble: ``species`` is a list of
+    ``(Z, N, count)``. All physics downstream reads per-nucleus (Z, N) from
+    the state, so a single batch can hold different isotopes — e.g. a
+    U-238 + C-14 sample decaying side by side (no reference equivalent).
+
+    Every species shares ``cfg.max_particles`` padding; the heaviest must
+    fit. Sub-batches are initialized per species and concatenated.
+    """
+    parts = []
+    for i, (z, n, count) in enumerate(species):
+        sub_cfg = SimConfig.for_isotope(
+            z, n, pad_to=cfg.max_particles, force_backend=cfg.force_backend
+        )
+        if sub_cfg.max_particles != cfg.max_particles:
+            raise ValueError(
+                f"species ({z},{n}) A={z + n} exceeds max_particles="
+                f"{cfg.max_particles}"
+            )
+        parts.append(ensemble_init(sub_cfg, count, seed=seed + i * 1_000_003))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)

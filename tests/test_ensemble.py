@@ -94,3 +94,27 @@ def test_ensemble_members_independent():
     states, m = fn(states, sim_dt, 1.0)
     decayed = np.asarray(m["z"] == 7)
     assert 0 < decayed.sum() < batch  # some decayed, some not
+
+
+def test_mixed_isotope_ensemble():
+    """A single batch holding different isotopes decays each by its own
+    physics: C-14 members beta-decay on the C-14 clock while U-238 members
+    stay put (half-life 780,000x longer)."""
+    from pyqmd_tpu.core.init import mixed_ensemble_init
+
+    cfg = SimConfig.for_isotope(92, 146, pad_to=8)
+    states = mixed_ensemble_init(cfg, [(92, 146, 8), (6, 8, 64)], seed=0)
+    assert states.pos.shape[0] == 72
+    z0 = np.asarray(states.z)
+    assert (z0[:8] == 92).all() and (z0[8:] == 6).all()
+    assert int(states.alive_count().sum()) == 8 * 238 + 64 * 14
+
+    fn = make_frame_fn(cfg, 10, batched=True)
+    sim_dt = 2.0 * C14_HL  # two C-14 half-lives per frame
+    states, m = fn(states, sim_dt, 1.0)
+    z = np.asarray(m["z"])
+    # U-238 members untouched (P(decay) ~ 2.6e-6 per member-frame).
+    assert (z[:8] == 92).all()
+    # Most C-14 members decayed to N-14 (expect ~75%).
+    decayed = (z[8:] == 7).sum()
+    assert decayed > 30
