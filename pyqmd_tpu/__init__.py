@@ -23,7 +23,7 @@ Design (TPU-first, not a translation):
 
 from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.state import NucleusState, empty_state
-from pyqmd_tpu.core.init import ensemble_init, init_state
+from pyqmd_tpu.core.init import ensemble_init, init_state, mixed_ensemble_init
 from pyqmd_tpu.core.step import ensemble_step, make_frame_fn, simulate_frame
 from pyqmd_tpu.sim import Simulation
 
@@ -36,6 +36,7 @@ __all__ = [
     "empty_state",
     "init_state",
     "ensemble_init",
+    "mixed_ensemble_init",
     "simulate_frame",
     "ensemble_step",
     "make_frame_fn",

@@ -8,7 +8,12 @@ from pyqmd_tpu.core.decay import (
 )
 from pyqmd_tpu.core.dynamics import FrameDynamics
 from pyqmd_tpu.core.forces import compute_forces, force_step, force_step_scalar
-from pyqmd_tpu.core.init import ensemble_init, init_state, placement_order
+from pyqmd_tpu.core.init import (
+    ensemble_init,
+    init_state,
+    mixed_ensemble_init,
+    placement_order,
+)
 from pyqmd_tpu.core.overlap import resolve_overlaps
 from pyqmd_tpu.core.step import (
     advance_ejecta,
@@ -27,6 +32,7 @@ __all__ = [
     "compute_forces",
     "decay_probability",
     "ensemble_init",
+    "mixed_ensemble_init",
     "ensemble_step",
     "force_decay",
     "force_step",
