@@ -52,6 +52,12 @@ def _force_kernel(
     s = cfg.strong_strength
     min_allowed = cfg.nucleon_radius * cfg.hard_core_scale
 
+    if cfg.fast_math:
+        # -cl-fast-relaxed-math analog (nuclear_forces.py:175).
+        recip = lambda x: pl.reciprocal(x, approx=True)  # noqa: E731
+    else:
+        recip = lambda x: 1.0 / x  # noqa: E731
+
     p = px_ref.shape[1]
     eye = jnp.eye(p, dtype=jnp.float32)
 
@@ -83,16 +89,18 @@ def _force_kernel(
         f = -cfg.hard_core_strength * overlap * jnp.sqrt(overlap)  # x**1.5
 
         # Single-exp piecewise strong force (same trick as the jnp oracle).
+        inv_d2e = recip(dist2 + eps)
+        inv_de = recip(dist + eps)
         r_ratio = dist / cfg.strong_range
         in_attract = dist < cfg.strong_attract_cut
         amp = jnp.where(in_attract, 1.25 * s, 0.15 * s)
         k = jnp.where(in_attract, 1.0, 1.8)
-        outer = amp * jnp.exp(-r_ratio * k) / (dist + eps)
-        core = -0.7 * s / (dist2 + eps)
+        outer = amp * jnp.exp(-r_ratio * k) * inv_de
+        core = -0.7 * s * inv_d2e
         f = f + jnp.where(dist < cfg.strong_core_cut, core, outer)
 
         is_pp = isp[:, None] * isp[None, :]
-        f = f - is_pp * (cfg.coulomb_strength / (dist2 + eps))
+        f = f - is_pp * (cfg.coulomb_strength * inv_d2e)
 
         same = 1.0 - jnp.abs(isp[:, None] - isp[None, :])  # same type (p/n only)
         pauli = cfg.pauli_strength * jnp.exp(-dist / cfg.pauli_range * 2.0)
