@@ -15,7 +15,9 @@ from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.core.forces import force_step
 from pyqmd_tpu.kernels.forces_pallas import TILE_B, force_step_pallas
 
-CFG = SimConfig.for_isotope(92, 146, pad_to=128)
+# Equivalence tests pin the exact kernel; fast_math (approx reciprocals,
+# the -cl-fast-relaxed-math analog and the default) is bounded separately.
+CFG = SimConfig.for_isotope(92, 146, pad_to=128, fast_math=False)
 
 
 def _random_state(p, n_alive, seed, spread=40.0):
@@ -73,3 +75,15 @@ def test_kernel_rejects_unaligned_capacity():
     pos, vel, ptype, alive = _random_state(100, 50, 0)
     with pytest.raises(ValueError):
         force_step_pallas(pos, vel, ptype, alive, 1 / 240.0, CFG, interpret=True)
+
+
+def test_fast_math_bounded():
+    """fast_math (approx reciprocals) stays within loose tolerance of the
+    exact kernel — the accuracy contract of the default mode."""
+    cfg_fast = SimConfig.for_isotope(92, 146, pad_to=128, fast_math=True)
+    pos, vel, ptype, alive = _random_state(256, 238, 0)
+    dt = 1 / 240.0
+    pe, ve = force_step_pallas(pos, vel, ptype, alive, dt, CFG, interpret=True)
+    pf, vf = force_step_pallas(pos, vel, ptype, alive, dt, cfg_fast, interpret=True)
+    np.testing.assert_allclose(np.asarray(pf), np.asarray(pe), rtol=0, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(ve), rtol=0, atol=5e-3)

@@ -165,3 +165,15 @@ def test_make_frame_fn_caches():
     cfg = SimConfig.for_isotope(2, 2, pad_to=8)
     assert make_frame_fn(cfg, 4) is make_frame_fn(cfg, 4)
     assert make_frame_fn(cfg, 4) is not make_frame_fn(cfg, 5)
+
+
+def test_empty_state_steps_safely():
+    """An all-dead state (no nucleons) steps without NaNs: masked forces,
+    guarded center of mass, no decays (half-life inf)."""
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)
+    st = empty_state(cfg)
+    st2, m = simulate_frame(st, cfg, 1e20, 1 / 60.0, 4)
+    assert int(m["alive"]) == 0
+    assert not bool(m["nan"])
+    assert int(st2.decay_counts.sum()) == 0
+    assert np.isfinite(np.asarray(st2.pos)).all()
