@@ -94,6 +94,47 @@ def survival_curve(
     )
 
 
+def chain_populations(
+    z: int,
+    n: int,
+    batch: int = 4096,
+    frames: int = 30,
+    half_lives: float = 3.0,
+    substeps: int = 10,
+    seed: int = 0,
+    pad_to: int = 8,
+) -> dict:
+    """Track the isotope populations of a decaying ensemble over time.
+
+    Runs a `batch`-nucleus ensemble of (z, n) and, each frame, histograms
+    the per-nucleus (Z, N) — the population view of the reference's
+    decay-chain panel (rendering.py:248-380), resolved statistically: e.g.
+    a U-238 ensemble shows daughters flowing down the chain toward secular
+    equilibrium. Returns ``{"times": [...], "populations": {"Z:N": [...]}}``.
+    """
+    hl = half_life_host(z, n)
+    if not math.isfinite(hl):
+        raise ValueError(f"isotope ({z},{n}) is stable")
+    cfg = SimConfig.for_isotope(z, n, pad_to=pad_to)
+    states = ensemble_init(cfg, batch, seed=seed)
+    fn = make_frame_fn(cfg, substeps, batched=True)
+    sim_dt = half_lives * hl / frames
+
+    times = [0.0]
+    pops: dict[str, list[int]] = {f"{z}:{n}": [batch]}
+    for f in range(frames):
+        states, m = fn(states, sim_dt, 1.0)
+        zs = np.asarray(m["z"])
+        ns = np.asarray(m["n"])
+        counts: dict[str, int] = {}
+        for zz, nn in zip(zs, ns):
+            counts[f"{zz}:{nn}"] = counts.get(f"{zz}:{nn}", 0) + 1
+        times.append((f + 1) * sim_dt)
+        for key in set(pops) | set(counts):
+            pops.setdefault(key, [0] * (len(times) - 1)).append(counts.get(key, 0))
+    return {"times": times, "populations": pops}
+
+
 def decay_rate_summary(result: SurvivalResult) -> dict:
     """Compact JSON-able summary of a survival run."""
     return {

@@ -35,3 +35,20 @@ def test_survival_deterministic():
     a = survival_curve(6, 8, batch=256, frames=5, seed=3)
     b = survival_curve(6, 8, batch=256, frames=5, seed=3)
     np.testing.assert_array_equal(a.survival, b.survival)
+
+
+def test_chain_populations_flow():
+    """A Rn-222 ensemble (3.8-day half-life, alpha chain) flows population
+    into its daughters; totals conserved each frame."""
+    from pyqmd_tpu.analysis import chain_populations
+
+    out = chain_populations(86, 136, batch=256, frames=8, half_lives=2.0, seed=1)
+    pops = out["populations"]
+    assert pops["86:136"][0] == 256
+    # Parent population decreased; Po-218 daughter appeared.
+    assert pops["86:136"][-1] < 256
+    assert "84:134" in pops and max(pops["84:134"]) > 0
+    # Conservation: populations sum to the batch at every time point.
+    n_t = len(out["times"])
+    for t in range(n_t):
+        assert sum(v[t] for v in pops.values()) == 256
