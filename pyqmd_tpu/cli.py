@@ -52,7 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--ensemble", type=int, default=None, help="batch of independent nuclei")
     p.add_argument(
-        "--backend", choices=("jnp", "pallas"), default="jnp", help="force kernel backend"
+        "--backend", choices=("auto", "jnp", "pallas"), default="auto",
+        help="force kernel backend (auto = pallas on TPU, jnp elsewhere)",
     )
     p.add_argument("--render", metavar="PATH", help="write final frame as PNG")
     p.add_argument(

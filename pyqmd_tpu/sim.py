@@ -71,11 +71,19 @@ class Simulation:
         seed: int = 0,
         ensemble: int | None = None,
         pad_to: int = 128,
-        force_backend: str = "jnp",
+        force_backend: str = "auto",
     ):
         self.seed = seed
         self.ensemble = ensemble
         self.pad_to = pad_to
+        if force_backend == "auto":
+            # Pallas on real TPU with lane-aligned padding; the jnp path
+            # everywhere else (CPU tests, unaligned small nuclei).
+            force_backend = (
+                "pallas"
+                if jax.default_backend() == "tpu" and pad_to % 128 == 0
+                else "jnp"
+            )
         self.force_backend = force_backend
         self.cfg = cfg or SimConfig.for_isotope(
             z, n, pad_to=pad_to, force_backend=force_backend
