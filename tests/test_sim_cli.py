@@ -195,3 +195,46 @@ def test_cli_interactive(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "U-238 → Th-234" in out
     assert "unknown command 'bogus'" in out
+
+
+def test_cli_interactive_all_commands(tmp_path, capsys, monkeypatch):
+    """Drive every REPL command once (the full keyboard surface)."""
+    import io
+
+    png = tmp_path / "v.png"
+    ck = tmp_path / "v.npz"
+    commands = "\n".join([
+        "help",
+        "status",
+        "step 2",
+        "run 2",
+        "decay",
+        "faster", "slower", "ff", "rew",
+        "t 1e6yr",
+        "preset hour",
+        "iso C-14",
+        "iso 9",
+        "zoom in", "zoom out", "zoom 12",
+        "pan 1 -1",
+        "auto", "auto",
+        "dt 0.005",
+        "accuracy 0.8",
+        "substeps 10",
+        "chain",
+        "show ascii",
+        "show",
+        f"render {png}",
+        f"save {ck}",
+        f"load {ck}",
+        "quit",
+    ]) + "\n"
+    monkeypatch.setattr("sys.stdin", io.StringIO(commands))
+    rc = cli_main(["--isotope", "U-238", "-i", "-q", "--backend", "jnp"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "error:" not in out
+    assert "auto-adjust substeps: ON" in out and "auto-adjust substeps: OFF" in out
+    assert "physics dt: 0.005000s" in out
+    assert "\x1b[38;2;" in out  # truecolor 'show'
+    assert png.exists() and ck.exists()
+    assert "loaded:" in out
