@@ -55,6 +55,16 @@ def bench_ensemble(z, n, batch, backend, frames=5, pad_to=128):
         states, m = fn(states, 1.0, FRAME_DT)
         jax.block_until_ready(states)  # per-frame fence: robust wall-clock
     dt = time.perf_counter() - t0
+    # The axon tunnel runtime sometimes acknowledges fences at enqueue time,
+    # yielding physically impossible timings. Validate against a full host
+    # readback (cannot be faked) and re-measure through it if needed.
+    min_plausible = 1e-7 * batch * frames  # ~0.1us/nucleus-frame floor
+    if dt < min_plausible:
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            states, m = fn(states, 1.0, FRAME_DT)
+        np.asarray(states.pos)  # ground-truth sync
+        dt = time.perf_counter() - t0
     return frames * NUM_STEPS * batch / dt
 
 
@@ -89,6 +99,12 @@ def bench_fused_single(backend="pallas", frames_per_dispatch=50, reps=4):
         state, m = fn(state, 1.0, FRAME_DT)
         jax.block_until_ready(state)
     dt = time.perf_counter() - t0
+    if dt < 0.005 * reps:  # implausible: see the enqueue-ack note in bench_ensemble
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, m = fn(state, 1.0, FRAME_DT)
+        np.asarray(state.pos)
+        dt = time.perf_counter() - t0
     return reps * frames_per_dispatch * NUM_STEPS / dt
 
 
