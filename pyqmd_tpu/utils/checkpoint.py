@@ -34,6 +34,40 @@ def save_checkpoint(path: str, state: NucleusState, cfg: SimConfig) -> None:
     np.savez_compressed(path, __meta__=np.frombuffer(meta.encode(), np.uint8), **arrays)
 
 
+def save_checkpoint_orbax(path: str, state: NucleusState, cfg: SimConfig) -> None:
+    """Orbax variant for large / sharded ensembles: writes device arrays
+    without gathering through host numpy (multi-host safe). ``path`` is a
+    directory."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.join(path, "state"),
+            {f.name: getattr(state, f.name) for f in dataclasses.fields(state)},
+        )
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump({"version": _FORMAT_VERSION, "config": dataclasses.asdict(cfg)}, f)
+
+
+def load_checkpoint_orbax(path: str) -> tuple[NucleusState, SimConfig]:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "config.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint version {meta.get('version')}")
+    cfg = SimConfig(**meta["config"])
+    with ocp.StandardCheckpointer() as ckptr:
+        arrays = ckptr.restore(os.path.join(path, "state"))
+    return NucleusState(**{k: jax.numpy.asarray(v) for k, v in arrays.items()}), cfg
+
+
 def load_checkpoint(path: str) -> tuple[NucleusState, SimConfig]:
     """Load (state, config) from an ``.npz`` checkpoint."""
     with np.load(path) as data:

@@ -238,3 +238,21 @@ def test_cli_interactive_all_commands(tmp_path, capsys, monkeypatch):
     assert "\x1b[38;2;" in out  # truecolor 'show'
     assert png.exists() and ck.exists()
     assert "loaded:" in out
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    from pyqmd_tpu.config import SimConfig
+    from pyqmd_tpu.core.init import init_state
+    from pyqmd_tpu.utils.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    cfg = SimConfig.for_isotope(6, 8, pad_to=8)
+    st = init_state(cfg, seed=0)
+    path = str(tmp_path / "ock")
+    save_checkpoint_orbax(path, st, cfg)
+    st2, cfg2 = load_checkpoint_orbax(path)
+    assert cfg2 == cfg
+    np.testing.assert_array_equal(np.asarray(st.pos), np.asarray(st2.pos))
+    np.testing.assert_array_equal(np.asarray(st.rng), np.asarray(st2.rng))
