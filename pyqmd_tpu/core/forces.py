@@ -132,9 +132,23 @@ def force_step(pos, vel, ptype, alive, dt, cfg: SimConfig):
     state (same contract as the Pallas backend).
     """
     if pos.ndim == 3:
-        return jax.vmap(lambda p, v, t, a: force_step(p, v, t, a, dt, cfg))(
-            pos, vel, ptype, alive
+        f = jax.vmap(lambda p, v, t, a: force_step(p, v, t, a, dt, cfg))
+        b = pos.shape[0]
+        # Chunk very large batches with lax.map: the vmapped pairwise chain
+        # materializes (B, P, P) intermediates in HBM (the Pallas backend
+        # does not have this problem — it keeps pair blocks in VMEM).
+        max_chunk = 8192
+        if b <= max_chunk:
+            return f(pos, vel, ptype, alive)
+        chunk = max_chunk
+        while b % chunk:
+            chunk -= 1
+        n = b // chunk
+        rs = lambda x: x.reshape(n, chunk, *x.shape[1:])  # noqa: E731
+        out_p, out_v = jax.lax.map(
+            lambda args: f(*args), (rs(pos), rs(vel), rs(ptype), rs(alive))
         )
+        return out_p.reshape(pos.shape), out_v.reshape(vel.shape)
     force = compute_forces(pos, ptype, alive, cfg)
     new_vel = (vel + force * dt) * cfg.damping
     new_pos = pos + new_vel * dt

@@ -118,3 +118,26 @@ def test_mixed_isotope_ensemble():
     # Most C-14 members decayed to N-14 (expect ~75%).
     decayed = (z[8:] == 7).sum()
     assert decayed > 30
+
+
+def test_u238_ensemble_reaches_pb206():
+    """Population-level chain traversal: a U-238 ensemble run for ~20
+    half-lives ends as stable Pb-206 (the 14-step chain walked
+    statistically, intermediate short-lived isotopes flushed through)."""
+    cfg = SimConfig.for_isotope(92, 146, pad_to=8)
+    batch = 12
+    states = ensemble_init(cfg, batch, seed=0)
+    fn = make_frame_fn(cfg, 20, batched=True)
+    u238_hl = 4.468e9 * YEAR
+    sim_dt = 1.0 * u238_hl  # one U-238 half-life per frame
+    for _ in range(25):
+        states, m = fn(states, sim_dt, 1.0)
+    z = np.asarray(m["z"])
+    n = np.asarray(m["n"])
+    done = (z == 82) & (n == 124)
+    assert done.sum() >= batch - 1  # ~1e-7 chance a member survives 25 T
+    # Nucleon bookkeeping for finished members: 82p + 124n alive.
+    alive = np.asarray(states.alive_count())
+    assert (alive[done] == 206).all()
+    # Every finished member logged >= 14 chain entries (+1 initial).
+    assert (np.asarray(m["chain_cursor"])[done] >= 15).all()
