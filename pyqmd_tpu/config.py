@@ -83,6 +83,12 @@ class SimConfig:
     damping: float = 0.85
     decay_damping: float = 0.8
 
+    # Integrator: "euler" reproduces the reference's semi-implicit Euler
+    # (nuclear_forces.py:156-171); "leapfrog" is the flagged
+    # velocity-Verlet upgrade (SURVEY §7 step 2) — second-order accurate,
+    # two force evaluations per step, jnp backend only.
+    integrator: str = "euler"
+
     # Overlap resolution (nuclear_sim.py:355-379).
     overlap_min_dist: float = 5.0
     overlap_iterations: int = 1
