@@ -322,6 +322,8 @@ def main(argv: list[str] | None = None) -> int:
 
         if frames:
             write_apng(args.render, frames)
+        elif sim.batched:
+            write_png(args.render, sim.render_grid())  # ensemble montage
         else:
             write_png(args.render, sim.render(args.width, args.height))
         print("wrote", args.render)

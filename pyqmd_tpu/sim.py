@@ -398,6 +398,27 @@ class Simulation:
             state, (float(com[0]), float(com[1])), zoom, width, height, ruler=False
         )
 
+    def render_grid(self, nx: int = 4, ny: int = 4, tile: int = 120):
+        """Montage of the first nx*ny ensemble members, each view-fitted —
+        population-level visual inspection (no reference equivalent)."""
+        if not self.batched:
+            raise RuntimeError("render_grid is for ensemble mode")
+        count = min(nx * ny, self.state.pos.shape[0])
+        rows = []
+        for j in range(ny):
+            row = []
+            for i in range(nx):
+                k = j * nx + i
+                if k < count:
+                    img = self._render_fit(tile, tile, index=k)
+                else:
+                    img = np.zeros((tile, tile, 3), np.uint8)
+                img = img.copy()
+                img[0, :] = img[:, 0] = 40  # tile border
+                row.append(img)
+            rows.append(np.concatenate(row, axis=1))
+        return np.concatenate(rows, axis=0)
+
     def render_ansi(self, width: int = 72, height: int = 48, index: int = 0) -> str:
         """Truecolor terminal view (two pixels per character row)."""
         from pyqmd_tpu.render.ansi import ansi_render

@@ -140,3 +140,17 @@ def test_apng(tmp_path):
     data = p.read_bytes()
     assert b"acTL" in data and b"fcTL" in data and b"fdAT" in data
     assert struct.unpack(">I", data[data.index(b"acTL") + 4 : data.index(b"acTL") + 8])[0] == 3
+
+
+def test_ensemble_montage():
+    from pyqmd_tpu import Simulation
+
+    sim = Simulation(z=2, n=2, pad_to=8, ensemble=6)
+    grid = sim.render_grid(nx=3, ny=2, tile=40)
+    assert grid.shape == (80, 120, 3)
+    assert (grid.sum(-1) > 0).sum() > 100  # nuclei visible
+    import pytest
+
+    single = Simulation(z=2, n=2, pad_to=8)
+    with pytest.raises(RuntimeError):
+        single.render_grid()
