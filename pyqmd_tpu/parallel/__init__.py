@@ -15,6 +15,7 @@ from pyqmd_tpu.parallel.mesh import (
     replicated,
     shard_ensemble,
 )
+from pyqmd_tpu.parallel.multihost import initialize_multihost, local_batch_slice
 from pyqmd_tpu.parallel.ring import make_ring_force_step
 
 __all__ = [
@@ -22,6 +23,8 @@ __all__ = [
     "MODEL_AXIS",
     "batch_sharding",
     "make_mesh",
+    "initialize_multihost",
+    "local_batch_slice",
     "make_ring_force_step",
     "make_sharded_frame_fn",
     "replicated",

@@ -123,3 +123,12 @@ def test_2d_mesh_data_times_model(eight_devices):
         lambda p, v, t, a: force_step(p, v, t, a, dt, cfg)
     )(batch.pos, batch.vel, batch.ptype, batch.alive)
     np.testing.assert_allclose(np.asarray(out_pos), np.asarray(ref_pos), rtol=1e-4, atol=1e-4)
+
+
+def test_multihost_single_process_noop():
+    from pyqmd_tpu.parallel import initialize_multihost, local_batch_slice
+
+    assert initialize_multihost() is False  # single process: guarded no-op
+    assert initialize_multihost(num_processes=1) is False
+    start, size = local_batch_slice(64)
+    assert (start, size) == (0, 64)  # one host owns the whole batch
