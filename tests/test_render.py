@@ -103,14 +103,19 @@ def test_ruler_burned_in():
 
 
 def test_golden_hash_fixed_state():
-    """Deterministic render: fixed seed/state -> fixed image hash. Pins the
-    whole visual stack; update deliberately if visuals change."""
+    """Deterministic render: fixed seed/state -> fixed image hash on the
+    CPU test backend. Pins the whole visual stack (init RNG, rasterizer,
+    ruler); update the stored hash deliberately if visuals change."""
     cfg = SimConfig.for_isotope(6, 8, pad_to=8)
     st = init_state(cfg, seed=42)
     img = render_to_host(st, (400.0, 400.0), 10.0, W, H)
     h = hashlib.sha256(img.tobytes()).hexdigest()
     img2 = render_to_host(st, (400.0, 400.0), 10.0, W, H)
     assert hashlib.sha256(img2.tobytes()).hexdigest() == h
+    if jax.default_backend() == "cpu":
+        assert h == (
+            "e0063d623a749d73e1111abc7106162f696f4c97d132f4ec3befe8e8c5510267"
+        )
     # The frame actually contains the nucleus (non-black pixels).
     assert (img.sum(-1) > 0).sum() > 50
 
