@@ -214,6 +214,8 @@ def interactive(sim: Simulation) -> None:
                 print(f"  max substeps: {sim.max_substeps}")
             elif cmd == "chain":
                 entries = sim.chain_entries()
+                if args:  # 'chain N' tails the last N entries (scroll analog)
+                    entries = entries[-int(args[0]):]
                 for e in entries[1:] or entries:
                     print(
                         f"  {e['index']}. {isotope_label(*e['parent'])} → "
