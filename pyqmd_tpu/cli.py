@@ -81,8 +81,30 @@ def build_parser() -> argparse.ArgumentParser:
         "--half-lives tabulated half-lives, write CSV, print the fit",
     )
     p.add_argument("--half-lives", type=float, default=2.0)
+    p.add_argument(
+        "--list-isotopes", action="store_true",
+        help="print the tabulated isotope database (half-lives, decay modes) and exit",
+    )
     p.add_argument("-q", "--quiet", action="store_true")
     return p
+
+
+def list_isotopes() -> None:
+    from pyqmd_tpu.data import DECAY_CHAINS, HALF_LIVES
+    from pyqmd_tpu.state import DECAY_SYMBOLS
+
+    print(f"{'isotope':<10} {'Z':>3} {'N':>3}  {'half-life':<22} decay")
+    for (z, n), hl in sorted(HALF_LIVES.items()):
+        if hl < 1.0:  # sub-second half-lives need SI prefixes
+            label = format_time_value_with_unit(hl)
+        else:
+            label, _ = format_half_life(hl)
+        modes = DECAY_CHAINS.get((z, n))
+        mode = (
+            "/".join(DECAY_SYMBOLS[m[2]] for m in modes) if modes
+            else ("stable" if hl == float("inf") else "predicted")
+        )
+        print(f"{isotope_label(z, n):<10} {z:>3} {n:>3}  {label:<22} {mode}")
 
 
 def print_status(sim: Simulation) -> None:
@@ -273,6 +295,10 @@ def main(argv: list[str] | None = None) -> int:
         level=logging.WARNING if args.quiet else logging.INFO,
         format="%(asctime)s - %(levelname)s - %(message)s",
     )
+
+    if args.list_isotopes:
+        list_isotopes()
+        return 0
 
     if args.survival:
         from pyqmd_tpu.analysis import decay_rate_summary, survival_curve
