@@ -219,3 +219,27 @@ def test_statistical_decay_rate_matches_half_life():
     draws = jax.vmap(lambda k: jax.random.uniform(k) < p)(keys)
     rate = float(jnp.mean(draws))
     assert rate == pytest.approx(p_expected, rel=0.1)
+
+
+def test_chain_duration_measured_vs_synthetic():
+    """Chain-log durations follow nuclear_sim.py:239-255: the measured sim
+    time since the last decay when significant, otherwise an exponential
+    synthetic draw capped by (measured or half-life)."""
+    cfg = SimConfig.for_isotope(92, 146, pad_to=8)
+    st = init_state(cfg, seed=0)
+    # Advance the frame clock by a known significant interval.
+    elapsed = 1.0e15  # sim seconds since last decay
+    st = st.replace(time_passed=st.time_passed + elapsed)
+    st2, _ = force_decay(st, cfg, jax.random.PRNGKey(1), _dyn())
+    i = (int(st2.chain_cursor) - 1) % cfg.max_chain_log
+    # Measured branch: duration == elapsed exactly.
+    assert float(st2.chain_time[i]) == pytest.approx(elapsed, rel=1e-6)
+    assert float(st2.last_decay_time) == pytest.approx(float(st2.time_passed))
+
+    # Immediate second decay: measured ~0 -> synthetic Exp draw bounded by
+    # min(T*Exp/0.693, half_life) and positive.
+    st3, _ = force_decay(st2, cfg, jax.random.PRNGKey(2), _dyn())
+    j = (int(st3.chain_cursor) - 1) % cfg.max_chain_log
+    dur = float(st3.chain_time[j])
+    hl = float(st2.half_life)  # Th-234 half-life (parent of this decay)
+    assert 0.0 < dur <= hl * 30  # exponential tail, overwhelmingly < 30 T
