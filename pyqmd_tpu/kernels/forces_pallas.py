@@ -11,9 +11,9 @@ execution shape:
   * grid over batch tiles (TILE_B nuclei per program), the ensemble being
     the scale axis (SURVEY §2 P2: kernel tiling);
   * all state for a tile resident in VMEM; the (P, P) pair interaction is
-    computed per nucleus with VPU elementwise ops and reduced with an MXU
-    matmul (force accumulation as ``g @ pos`` instead of a (P, P, 2)
-    broadcast), never spilling pair matrices to HBM;
+    computed per nucleus with VPU elementwise ops and accumulated with a
+    negated sublane-axis reduction (g symmetric, dx antisymmetric), never
+    spilling pair matrices to HBM;
   * center of mass and alive counts computed in-kernel (the reference
     computes the center on host each substep, nuclear_forces.py:206-208);
   * integration fused into the same kernel — one HBM read + one HBM write
@@ -192,8 +192,9 @@ def force_step_pallas(pos, vel, ptype, alive, dt, cfg: SimConfig, interpret=Fals
     """Drop-in replacement for :func:`pyqmd_tpu.core.forces.force_step`.
 
     Accepts unbatched (P, 2) state (adds a singleton batch) or batched
-    (B, P, 2) state. Under ``vmap`` the unbatched call is batched by JAX
-    automatically via the batched entry point.
+    (B, P, 2) state. Call it batch-native for ensembles — vmapping the
+    unbatched form pads every nucleus to a full TILE_B tile (8x wasted
+    work; see ``ensemble_step``).
     """
     if pos.ndim == 2:
         new_pos, new_vel = _force_step_batched(
