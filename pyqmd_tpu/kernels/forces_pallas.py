@@ -38,7 +38,6 @@ from pyqmd_tpu.state import PROTON
 
 TILE_B = 8  # nuclei per program: matches the f32 (8, 128) sublane tile
 
-
 def _force_kernel(
     dt_ref,  # (1, 1) SMEM
     px_ref, py_ref, vx_ref, vy_ref,  # (TILE_B, P) VMEM f32
@@ -57,6 +56,9 @@ def _force_kernel(
         recip = lambda x: pl.reciprocal(x, approx=True)  # noqa: E731
     else:
         recip = lambda x: 1.0 / x  # noqa: E731
+    # Note: a polynomial exp2 replacement was measured SLOWER than the
+    # hardware exp (733 vs 587 ms/frame at 10k) — the VPU transcendental
+    # unit beats a ~10-op software pipeline; keep jnp.exp.
 
     p = px_ref.shape[1]
     eye = jnp.eye(p, dtype=jnp.float32)
