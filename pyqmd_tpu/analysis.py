@@ -41,9 +41,17 @@ class SurvivalResult:
             self.tabulated_half_life
         )
 
+    def activity(self) -> np.ndarray:
+        """Decays per second at each time point (A = -dN/dt), the quantity
+        a detector measures; A(t) = lambda*N(t) for a pure species."""
+        return -np.gradient(self.survival * self.batch, self.times)
+
     def to_csv(self) -> str:
-        lines = ["time_s,survival"]
-        lines += [f"{t},{s}" for t, s in zip(self.times, self.survival)]
+        lines = ["time_s,survival,activity_per_s"]
+        act = self.activity()
+        lines += [
+            f"{t},{s},{a}" for t, s, a in zip(self.times, self.survival, act)
+        ]
         return "\n".join(lines) + "\n"
 
 
@@ -133,6 +141,17 @@ def chain_populations(
         for key in set(pops) | set(counts):
             pops.setdefault(key, [0] * (len(times) - 1)).append(counts.get(key, 0))
     return {"times": times, "populations": pops}
+
+
+def chain_populations_csv(result: dict) -> str:
+    """CSV form of a :func:`chain_populations` result (one column per
+    isotope, rows = time points)."""
+    keys = sorted(result["populations"])
+    lines = ["time_s," + ",".join(keys)]
+    for t_idx, t in enumerate(result["times"]):
+        row = [str(t)] + [str(result["populations"][k][t_idx]) for k in keys]
+        lines.append(",".join(row))
+    return "\n".join(lines) + "\n"
 
 
 def decay_rate_summary(result: SurvivalResult) -> dict:

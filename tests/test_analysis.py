@@ -52,3 +52,28 @@ def test_chain_populations_flow():
     n_t = len(out["times"])
     for t in range(n_t):
         assert sum(v[t] for v in pops.values()) == 256
+
+
+def test_activity_curve():
+    """Activity A(t) ~ lambda * N(t): the measured initial activity of a
+    C-14 ensemble matches ln2/T * N0 within sampling tolerance."""
+    res = survival_curve(6, 8, batch=4096, frames=10, half_lives=1.0, seed=0)
+    act = res.activity()
+    lam = math.log(2) / res.tabulated_half_life
+    expected0 = lam * 4096
+    assert act[0] == pytest.approx(expected0, rel=0.25)
+    assert (act[1:-1] >= 0).all()  # monotone-decay population
+    assert "activity_per_s" in res.to_csv().splitlines()[0]
+
+
+def test_chain_populations_csv():
+    from pyqmd_tpu.analysis import chain_populations, chain_populations_csv
+
+    out = chain_populations(86, 136, batch=64, frames=4, half_lives=1.0, seed=0)
+    csv = chain_populations_csv(out)
+    lines = csv.strip().splitlines()
+    assert lines[0].startswith("time_s,")
+    assert len(lines) == len(out["times"]) + 1
+    # Row sums conserve the batch.
+    for row in lines[1:]:
+        assert sum(int(v) for v in row.split(",")[1:]) == 64
