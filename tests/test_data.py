@@ -162,3 +162,13 @@ def test_lookups_work_under_jit():
     # Out-of-grid indices clamp instead of crashing.
     hl, _ = f(jnp.asarray(500), jnp.asarray(500), jnp.asarray(0.5))
     assert np.isfinite(float(hl)) or np.isinf(float(hl))
+
+
+def test_all_element_symbols_unique():
+    symbols = [element_symbol(z) for z in range(1, 119)]
+    assert len(set(symbols)) == 118
+    assert symbols[0] == "H" and symbols[-1] == "Og"
+    # Every symbol round-trips through the isotope parser.
+    for z in (1, 26, 92, 118):
+        a = z + z  # arbitrary valid mass
+        assert parse_isotope(f"{element_symbol(z)}-{a}") == (z, a - z)

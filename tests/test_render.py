@@ -159,3 +159,16 @@ def test_ensemble_montage():
     single = Simulation(z=2, n=2, pad_to=8)
     with pytest.raises(RuntimeError):
         single.render_grid()
+
+
+def test_ruler_nice_value_across_zooms():
+    """The fm scale bar picks a 'nice' length and stays in-frame across the
+    interactive zoom range (rendering.py:87-113 semantics)."""
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)
+    st = empty_state(cfg)
+    for zoom in (0.1, 1.0, 15.0, 100.0):
+        img = render_to_host(st, (400.0, 400.0), zoom, 320, 240, ruler=True)
+        row = img[240 - 50]
+        lit = np.flatnonzero((row == 200).all(-1))
+        assert len(lit) > 2, zoom  # bar exists
+        assert lit.min() >= 48 and lit.max() < 320, zoom  # in frame
