@@ -43,6 +43,14 @@ NEUTRON_RING = (150.0, 150.0, 200.0)
 FM_PER_UNIT = 0.5  # rendering.py:15
 NICE_FM = np.array([0.5, 1, 2, 5, 10, 20, 50, 100, 200, 500], np.float32)
 
+# Pre-rendered "<nice> fm" labels (rendering.py:115-116); the rasterizer
+# picks one at trace time with a single gather.
+from pyqmd_tpu.render.font import label_stack as _label_stack  # noqa: E402
+
+_FM_LABELS = _label_stack(
+    [f"{v:g} fm" for v in NICE_FM.tolist()], scale=2
+)
+
 
 def _world_to_screen(p, camera, zoom, width, height):
     """rendering.py:121-127."""
@@ -177,7 +185,20 @@ def _burn_ruler(img, zoom, width: int, height: int):
         tick_h = 10.0 if i % 5 == 0 else 5.0
         tick = (jnp.abs(xs - tick_x) <= 0.5) & (ys <= y0) & (ys >= y0 - tick_h)
         mask = mask | tick
-    return jnp.where(mask[..., None], jnp.array(RULER_COLOR), img)
+    img = jnp.where(mask[..., None], jnp.array(RULER_COLOR), img)
+
+    # "<nice> fm" label above the bar (rendering.py:115-116), statically
+    # placed so the burn is a fixed-slice select; the label bitmap itself is
+    # chosen by the traced nice-value index.
+    label = jnp.asarray(_FM_LABELS)[idx]  # (lh, lw) mask
+    lh, lw = label.shape
+    ly = int(y0) - 25
+    lx = int(x0)
+    if 0 <= ly and ly + lh <= height and lx + lw <= width:
+        region = img[ly : ly + lh, lx : lx + lw]
+        region = jnp.where(label[..., None] > 0, jnp.array(RULER_COLOR), region)
+        img = img.at[ly : ly + lh, lx : lx + lw].set(region)
+    return img
 
 
 def render_to_host(state, camera, zoom, width=800, height=600, ruler=True):

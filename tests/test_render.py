@@ -114,7 +114,7 @@ def test_golden_hash_fixed_state():
     assert hashlib.sha256(img2.tobytes()).hexdigest() == h
     if jax.default_backend() == "cpu":
         assert h == (
-            "e0063d623a749d73e1111abc7106162f696f4c97d132f4ec3befe8e8c5510267"
+            "074164acd52ac0fd4d7abb90484db86da1a287700d250a4a703d2dc04ce12789"
         )
     # The frame actually contains the nucleus (non-black pixels).
     assert (img.sum(-1) > 0).sum() > 50
@@ -172,3 +172,13 @@ def test_ruler_nice_value_across_zooms():
         lit = np.flatnonzero((row == 200).all(-1))
         assert len(lit) > 2, zoom  # bar exists
         assert lit.min() >= 48 and lit.max() < 320, zoom  # in frame
+
+
+def test_ruler_label_burned_in():
+    """The '<nice> fm' bitmap label appears above the ruler
+    (rendering.py:115-116 equivalent)."""
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)
+    st = empty_state(cfg)
+    img = render_to_host(st, (400.0, 400.0), 15.0, 480, 360, ruler=True)
+    label_region = img[360 - 50 - 25 : 360 - 50 - 11, 50:150]
+    assert (label_region.sum(-1) > 0).sum() > 50  # glyph pixels lit
