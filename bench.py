@@ -141,8 +141,17 @@ def bench_render(fps_frames=5):
     t0 = time.perf_counter()
     for _ in range(fps_frames):
         img = render_frame(st, (400.0, 400.0), 10.0, 800, 600)
-    jax.block_until_ready(img)
-    return fps_frames / (time.perf_counter() - t0)
+        jax.block_until_ready(img)
+    fps = fps_frames / (time.perf_counter() - t0)
+    if fps > 500:  # enqueue-ack artifact: fall back to readback fencing,
+        # which through the axon tunnel is RPC-bound (a lower bound; local
+        # hosts read 1.4 MB back in ~1 ms).
+        t0 = time.perf_counter()
+        for _ in range(fps_frames):
+            img = render_frame(st, (400.0, 400.0), 10.0, 800, 600)
+            np.asarray(img)
+        fps = fps_frames / (time.perf_counter() - t0)
+    return fps
 
 
 def main():
