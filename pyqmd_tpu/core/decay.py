@@ -81,7 +81,10 @@ def ejecta_lifetime(frag_type, dyn: FrameDynamics, cfg: SimConfig):
     """Ejecta lifetime with the reference's time-scale/substep/dt
     compensation (nuclear_sim.py:315-342)."""
     base = cfg.base_ejecta_lifetime
-    ts, ss, pdt = dyn.time_scale, dyn.substeps, dyn.physics_dt
+    ts, ss = dyn.time_scale, dyn.substeps
+    # The dt factor reads the RAW physics dt (nuclear_sim.py:327 uses
+    # self.physics_dt before the accuracy scaling).
+    pdt = dyn.raw_physics_dt if dyn.raw_physics_dt is not None else dyn.physics_dt
     # Fast-time branch (ts > 1).
     tf = jnp.maximum(1.0, ts / 100.0)
     sf = jnp.maximum(1.0, jnp.sqrt(ss))

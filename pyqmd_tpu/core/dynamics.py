@@ -23,9 +23,15 @@ class FrameDynamics(NamedTuple):
     step_time   — sim-seconds per substep = frame_dt*time_scale/substeps
                   (nuclear_sim.py:165), the decay-Bernoulli dt and the
                   ejecta aging dt.
+    raw_physics_dt — the *unscaled* physics timestep (nuclear_sim.py:59),
+                  before the accuracy factor; the ejecta-lifetime dt factor
+                  reads this one (nuclear_sim.py:327 uses self.physics_dt
+                  raw). ``None`` means equal to ``physics_dt`` (the
+                  accuracy=1.0 case).
     """
 
     time_scale: jax.Array
     substeps: jax.Array
     physics_dt: jax.Array
     step_time: jax.Array
+    raw_physics_dt: jax.Array | None = None

@@ -97,6 +97,7 @@ def simulate_frame(
     frame_dt,
     num_steps: int,
     physics_dt=None,
+    raw_physics_dt=None,
 ) -> tuple[NucleusState, dict]:
     """Advance one frame: ``num_steps`` substeps under ``lax.scan`` then
     overlap resolution (nuclear_sim.py:118-176).
@@ -120,6 +121,10 @@ def simulate_frame(
         substeps=jnp.asarray(float(num_steps), jnp.float32),
         physics_dt=jnp.asarray(physics_dt, jnp.float32),
         step_time=desired_dt / num_steps,
+        raw_physics_dt=(
+            None if raw_physics_dt is None
+            else jnp.asarray(raw_physics_dt, jnp.float32)
+        ),
     )
 
     base = jax.random.wrap_key_data(state.rng)
@@ -173,11 +178,20 @@ def _batched_overlap(pos, alive, keys, cfg: SimConfig, max_chunk: int = 1024):
     f = jax.vmap(lambda p, a, k: resolve_overlaps(p, a, k, cfg))
     b = pos.shape[0]
     chunk = min(b, max_chunk)
-    while b % chunk:
-        chunk -= 1
     if chunk == b:
         return f(pos, alive, keys)
-    n = b // chunk
+    # Pad the batch up to a chunk multiple instead of shrinking the chunk —
+    # a prime batch (e.g. B=8209) would otherwise degrade to chunk=1 and B
+    # sequential dispatches. Padded members are all-dead: resolve_overlaps
+    # is a no-op on them.
+    pad = (-b) % chunk
+    if pad:
+        pos = jnp.concatenate([pos, jnp.zeros((pad, *pos.shape[1:]), pos.dtype)])
+        alive = jnp.concatenate(
+            [alive, jnp.zeros((pad, *alive.shape[1:]), alive.dtype)]
+        )
+        keys = jnp.concatenate([keys, keys[:pad]])
+    n = (b + pad) // chunk
     out = jax.lax.map(
         lambda args: f(*args),
         (
@@ -186,7 +200,7 @@ def _batched_overlap(pos, alive, keys, cfg: SimConfig, max_chunk: int = 1024):
             keys.reshape(n, chunk, *keys.shape[1:]),
         ),
     )
-    return out.reshape(b, *pos.shape[1:])
+    return out.reshape(n * chunk, *pos.shape[1:])[:b]
 
 
 def ensemble_step(
@@ -196,6 +210,7 @@ def ensemble_step(
     frame_dt,
     num_steps: int,
     physics_dt=None,
+    raw_physics_dt=None,
 ) -> tuple[NucleusState, dict]:
     """Batched frame over a leading ensemble axis (SURVEY §2 P1).
 
@@ -223,6 +238,10 @@ def ensemble_step(
         substeps=jnp.asarray(float(num_steps), jnp.float32),
         physics_dt=jnp.asarray(physics_dt, jnp.float32),
         step_time=desired_dt / num_steps,
+        raw_physics_dt=(
+            None if raw_physics_dt is None
+            else jnp.asarray(raw_physics_dt, jnp.float32)
+        ),
     )
 
     base = jax.vmap(jax.random.wrap_key_data)(states.rng)
@@ -266,11 +285,16 @@ def make_run_fn(
     """
     fn = ensemble_step if batched else simulate_frame
     default_pdt = cfg.effective_dt()
+    default_raw = cfg.physics_dt
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def run(state, time_scale, frame_dt, physics_dt=default_pdt):
+    def run(state, time_scale, frame_dt, physics_dt=default_pdt,
+            raw_physics_dt=default_raw):
         def body(st, _):
-            st, metrics = fn(st, cfg, time_scale, frame_dt, num_steps, physics_dt)
+            st, metrics = fn(
+                st, cfg, time_scale, frame_dt, num_steps, physics_dt,
+                raw_physics_dt,
+            )
             return st, None
 
         state, _ = jax.lax.scan(body, state, None, length=num_frames)
@@ -294,9 +318,14 @@ def make_frame_fn(cfg: SimConfig, num_steps: int, batched: bool = False):
     """
     fn = ensemble_step if batched else simulate_frame
     default_pdt = cfg.effective_dt()
+    default_raw = cfg.physics_dt
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def frame(state, time_scale, frame_dt, physics_dt=default_pdt):
-        return fn(state, cfg, time_scale, frame_dt, num_steps, physics_dt)
+    def frame(state, time_scale, frame_dt, physics_dt=default_pdt,
+              raw_physics_dt=default_raw):
+        return fn(
+            state, cfg, time_scale, frame_dt, num_steps, physics_dt,
+            raw_physics_dt,
+        )
 
     return frame

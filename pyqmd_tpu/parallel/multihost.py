@@ -15,10 +15,42 @@ guarded no-op so the same launcher script runs everywhere.
 from __future__ import annotations
 
 import logging
+import os
 
 import jax
 
 logger = logging.getLogger("pyqmd_tpu")
+
+# Environment signals of a multi-process cluster (jax.distributed
+# auto-detection sources: explicit JAX coordinator, TPU pod metadata, SLURM,
+# Open MPI). Checked WITHOUT touching any JAX backend — calling e.g.
+# jax.process_count() first would initialize the local backend and break a
+# subsequent jax.distributed.initialize().
+_COORDINATOR_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "OMPI_MCA_orte_hnp_uri",
+)
+
+
+def cluster_detected() -> bool:
+    """True when cluster env vars indicate a multi-*process* launch.
+
+    Presence alone is not enough: single-worker TPU VMs export
+    ``TPU_WORKER_HOSTNAMES=localhost`` and SLURM single-node jobs export
+    ``SLURM_JOB_NUM_NODES=1`` — only multi-worker values count.
+    """
+    if any(os.environ.get(v) for v in _COORDINATOR_ENV_VARS):
+        return True
+    if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
+        return True  # comma-separated list => multiple TPU workers
+    try:
+        if int(os.environ.get("SLURM_JOB_NUM_NODES", "1")) > 1:
+            return True
+    except ValueError:
+        pass
+    return False
 
 
 def initialize_multihost(
@@ -28,16 +60,18 @@ def initialize_multihost(
 ) -> bool:
     """Initialize the distributed runtime; returns True if multi-host.
 
-    With no arguments, auto-detects the environment (TPU pod metadata /
-    cluster env vars, as ``jax.distributed.initialize`` does). A
-    single-process setting is a no-op so launchers need no special-casing.
+    With explicit arguments, always initializes. With no arguments, the
+    decision is made from cluster environment variables alone (see
+    :func:`cluster_detected`) so that ``jax.distributed.initialize`` runs
+    BEFORE anything touches a backend; a plain single-process launch is a
+    no-op and launchers need no special-casing.
     """
-    if num_processes == 1 or (
-        coordinator_address is None
-        and num_processes is None
-        and process_id is None
-        and jax.process_count() == 1
-    ):
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+    )
+    if num_processes == 1 or (not explicit and not cluster_detected()):
         logger.info("single process; skipping jax.distributed.initialize")
         return False
     jax.distributed.initialize(

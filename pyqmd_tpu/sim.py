@@ -10,8 +10,10 @@ substep bucket to run, what to log) and keeps UI state (camera lerp, zoom).
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import math
+from collections import deque
 
 import numpy as np
 
@@ -26,6 +28,7 @@ from pyqmd_tpu.data.elements import element_symbol, isotope_label
 from pyqmd_tpu.state import DECAY_SYMBOLS
 from pyqmd_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from pyqmd_tpu.utils.format import format_time_value_with_unit
+from pyqmd_tpu.utils.profiling import StepTimer
 
 logger = logging.getLogger("pyqmd_tpu")
 
@@ -107,7 +110,27 @@ class Simulation:
         self.zoom_speed = 0.1
         self._chain_seen = 0
         self._decay_log: list[str] = []
+        self._init_observability()
         self.reset()
+
+    def _init_observability(self):
+        # Frame pipelining + throughput tracking (the reference's FPS deque,
+        # nuclear_sim.py:60, 119-121). Frames are dispatched without
+        # blocking; a frame's *metrics* (not its donated input state) retire
+        # through this queue, fenced only when they fall off the end — so up
+        # to maxlen frames are in flight and the timers measure real retire
+        # rate, not enqueue rate.
+        self._inflight: deque = deque(maxlen=4)
+        self._substep_timer = StepTimer(window=30)
+        self._fps_timer = StepTimer(window=30)
+        # NaN-guard readback cadence: a per-frame device->host sync costs
+        # ~100 ms through the axon tunnel (docs/PERFORMANCE.md), so the
+        # guard reads the flag of a *retired* frame every N frames.
+        self.nan_check_interval = 30
+        # Donation safety: until the Pallas backend has completed one frame,
+        # keep a device copy of the pre-frame state so a runtime failure
+        # after dispatch (input already donated) can still fall back to jnp.
+        self._pallas_proven = False
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -129,6 +152,7 @@ class Simulation:
         self._chain_seen = 1  # skip the initial-state entry
         self.camera_target = [self.cfg.origin_x, self.cfg.origin_y]
         self.last_metrics = None
+        self._inflight.clear()
         logger.info("nucleus: %s (seed %d)", self.isotope, self.seed)
 
     def set_isotope_key(self, key: int):
@@ -181,7 +205,10 @@ class Simulation:
     # Substep-count ladder: in auto-adjust mode the reference allows up to
     # max_substeps * log10(time_scale) substeps (nuclear_sim.py:149-150);
     # since each count is a distinct lax.scan length (one compile each), the
-    # count is snapped down to this ladder to bound jit variants.
+    # count is snapped down to this ladder to bound jit variants. The ladder
+    # applies ONLY in auto-adjust mode: with it off, counts are already
+    # bounded by max_substeps (default 20) and must match the reference's
+    # exact integer (nuclear_sim.py:153), so e.g. 7 substeps stay 7.
     _SUBSTEP_LADDER = (
         1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 25, 32, 40, 50, 64, 80, 100,
         128, 160, 200,
@@ -208,56 +235,104 @@ class Simulation:
             else self.max_substeps
         )
         num = max(1, min(adj_max, int(frame_dt * ts / effective)))
-        # Snap to the ladder (largest entry <= num) to bound compiles.
-        for step in reversed(self._SUBSTEP_LADDER):
-            if step <= num:
-                num = step
-                break
+        if self.auto_adjust_substeps:
+            # Snap to the ladder (largest entry <= num) to bound compiles.
+            for step in reversed(self._SUBSTEP_LADDER):
+                if step <= num:
+                    num = step
+                    break
         return num, effective
 
     def frame(self, frame_dt: float = 1.0 / 60.0):
         """Advance one frame. Substep count is host-bucketed
         (nuclear_sim.py:153) and selects a cached jit variant.
 
+        The dispatch is asynchronous: up to ``_inflight.maxlen`` frames
+        pipeline on device before the host fences on a *retired* frame's
+        metrics (never on the just-dispatched one), so interactive
+        throughput is not bound by per-frame host round trips. The decay
+        log drains lazily (on access or at the NaN-check cadence).
+
         Failure detection (SURVEY §5): if the Pallas backend fails to
         compile or run, fall back to the jnp path — the analog of the
         reference's OpenCL->CPU fallback (nuclear_sim.py:40-45) — and a
-        per-frame NaN guard logs numerical blowup instead of the
+        periodic NaN guard logs numerical blowup instead of the
         reference's silent kernel-skip (nuclear_forces.py:222-224).
         """
         num_steps, eff_dt = self._schedule(frame_dt)
         self.substeps_used = num_steps
+        fn = make_frame_fn(self.cfg, num_steps, batched=self.batched)
+        # Device copy of the state until Pallas has proven itself: the frame
+        # fn donates its input, so a post-dispatch failure would otherwise
+        # leave no valid state for the fallback retry (ADVICE r2).
+        snapshot = None
+        if self.cfg.force_backend == "pallas" and not self._pallas_proven:
+            snapshot = jax.tree.map(lambda a: a.copy(), self.state)
+        args = (self.time_scale, frame_dt, eff_dt, self.physics_dt)
         try:
-            fn = make_frame_fn(self.cfg, num_steps, batched=self.batched)
-            self.state, metrics = fn(self.state, self.time_scale, frame_dt, eff_dt)
-        except Exception:
-            if self.cfg.force_backend == "pallas":
-                logger.exception("pallas backend failed; falling back to jnp")
-                self.force_backend = "jnp"
-                self.cfg = SimConfig.for_isotope(
-                    self.cfg.z, self.cfg.n, pad_to=self.pad_to, force_backend="jnp"
-                )
-                fn = make_frame_fn(self.cfg, num_steps, batched=self.batched)
-                self.state, metrics = fn(self.state, self.time_scale, frame_dt, eff_dt)
-            else:
-                raise
-        if bool(np.any(np.asarray(metrics["nan"]))):
-            logger.error(
-                "non-finite state detected at frame %d (time scale %g)",
-                self.frame_count, self.time_scale,
+            self.state, metrics = fn(self.state, *args)
+            self._pallas_proven = self._pallas_proven or (
+                self.cfg.force_backend == "pallas"
             )
+        except Exception:
+            if self.cfg.force_backend != "pallas":
+                raise
+            logger.exception("pallas backend failed; falling back to jnp")
+            self.force_backend = "jnp"
+            # Swap only the backend; every other user-set field (force
+            # strengths, fast_math, capacities, ...) is preserved.
+            self.cfg = dataclasses.replace(self.cfg, force_backend="jnp")
+            if snapshot is not None:
+                self.state = snapshot
+            fn = make_frame_fn(self.cfg, num_steps, batched=self.batched)
+            self.state, metrics = fn(self.state, *args)
         self.frame_count += 1
+        self._retire(metrics, num_steps)
         self._lerp_camera()
-        if not self.batched:
-            self._drain_chain_log()
         self.last_metrics = metrics
         return metrics
+
+    def _retire(self, metrics, num_steps: int):
+        """Push this frame's metrics into the pipeline; fence on and check
+        the frame that falls off the end."""
+        if not self._inflight:
+            self._substep_timer.start()
+            self._fps_timer.start()
+        self._inflight.append((metrics, num_steps))
+        if len(self._inflight) == self._inflight.maxlen:
+            old_metrics, old_steps = self._inflight.popleft()
+            self._substep_timer.lap(old_metrics, steps=old_steps)
+            self._fps_timer.lap(None)  # already fenced above
+        if self.nan_check_interval and (
+            self.frame_count % self.nan_check_interval == 0
+        ):
+            self._check_nan(self._inflight[0][0])  # oldest in flight
+            if not self.batched:
+                self._drain_chain_log()
+
+    def _check_nan(self, metrics):
+        if bool(np.any(np.asarray(metrics["nan"]))):
+            logger.error(
+                "non-finite state detected near frame %d (time scale %g)",
+                self.frame_count, self.time_scale,
+            )
+
+    @property
+    def fps(self) -> float:
+        """Rolling frames/sec over retired (device-complete) frames."""
+        return self._fps_timer.steps_per_sec
+
+    @property
+    def substeps_per_sec(self) -> float:
+        """Rolling physics substeps/sec over retired frames."""
+        return self._substep_timer.steps_per_sec
 
     def run(self, frames: int, frame_dt: float = 1.0 / 60.0, fused: bool = False):
         """Advance many frames. ``fused=True`` scans all frames inside one
         jit dispatch (constant time scale) — the throughput mode; the
         per-frame loop is the interactive mode (camera lerp, live logs)."""
         if not fused:
+            m = self.last_metrics
             for _ in range(frames):
                 m = self.frame(frame_dt)
             return m
@@ -266,7 +341,9 @@ class Simulation:
         num_steps, eff_dt = self._schedule(frame_dt)
         self.substeps_used = num_steps
         fn = make_run_fn(self.cfg, num_steps, frames, batched=self.batched)
-        self.state, metrics = fn(self.state, self.time_scale, frame_dt, eff_dt)
+        self.state, metrics = fn(
+            self.state, self.time_scale, frame_dt, eff_dt, self.physics_dt
+        )
         self.frame_count += frames
         if not self.batched:
             self._drain_chain_log()
@@ -282,6 +359,7 @@ class Simulation:
             jax.numpy.float32(max(1, self.substeps_used)),
             jax.numpy.float32(self.cfg.effective_dt()),
             jax.numpy.float32(self.cfg.effective_dt() * self.time_scale),
+            jax.numpy.float32(self.physics_dt),
         )
         key = jax.random.wrap_key_data(self.state.rng)
         key, sub = jax.random.split(key)
@@ -313,6 +391,8 @@ class Simulation:
 
     @property
     def decay_log(self) -> list[str]:
+        if not self.batched:
+            self._drain_chain_log()  # frames dispatch async; sync on access
         return list(self._decay_log)
 
     def chain_entries(self):
@@ -347,7 +427,10 @@ class Simulation:
                 decay_counts=counts.tolist(),
                 time_scale=self.time_scale,
                 substeps=self.substeps_used,
+                fps=self.fps,
+                substeps_per_sec=self.substeps_per_sec,
             )
+        self._drain_chain_log()
         return dict(
             isotope=self.isotope,
             z=int(st.z),
@@ -364,6 +447,8 @@ class Simulation:
             auto_adjust=self.auto_adjust_substeps,
             zoom=self.zoom,
             backend=self.cfg.force_backend,
+            fps=self.fps,
+            substeps_per_sec=self.substeps_per_sec,
         )
 
     # -- render & persistence -------------------------------------------------
@@ -483,4 +568,5 @@ class Simulation:
         sim._chain_seen = int(state.chain_cursor) if state.pos.ndim == 2 else 0
         sim._decay_log = []
         sim.last_metrics = None
+        sim._init_observability()
         return sim

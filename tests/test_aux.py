@@ -25,9 +25,23 @@ def test_nan_guard_metric():
 
 def test_nan_guard_logs(caplog):
     sim = Simulation(z=2, n=2, pad_to=8)
+    sim.nan_check_interval = 1  # default cadence is every 30 frames
     sim.state = sim.state.replace(pos=sim.state.pos.at[0, 0].set(jnp.inf))
     with caplog.at_level(logging.ERROR, logger="pyqmd_tpu"):
         sim.frame()
+    assert any("non-finite" in r.message for r in caplog.records)
+
+
+def test_nan_guard_default_cadence(caplog):
+    """The guard reads back only every nan_check_interval frames (the
+    per-frame device sync was the interactive-path bottleneck, VERDICT r2)."""
+    sim = Simulation(z=2, n=2, pad_to=8)
+    sim.state = sim.state.replace(pos=sim.state.pos.at[0, 0].set(jnp.inf))
+    with caplog.at_level(logging.ERROR, logger="pyqmd_tpu"):
+        for _ in range(sim.nan_check_interval - 1):
+            sim.frame()
+        assert not any("non-finite" in r.message for r in caplog.records)
+        sim.frame()  # the Nth frame triggers the readback
     assert any("non-finite" in r.message for r in caplog.records)
 
 

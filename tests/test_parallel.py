@@ -132,3 +132,27 @@ def test_multihost_single_process_noop():
     assert initialize_multihost(num_processes=1) is False
     start, size = local_batch_slice(64)
     assert (start, size) == (0, 64)  # one host owns the whole batch
+
+
+def test_cluster_detection_env_gated(monkeypatch):
+    """Auto-detection reads env vars only — never jax.process_count(),
+    which would initialize the backend before jax.distributed (ADVICE r2)."""
+    from pyqmd_tpu.parallel.multihost import cluster_detected
+
+    for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "MEGASCALE_COORDINATOR_ADDRESS", "OMPI_MCA_orte_hnp_uri",
+              "TPU_WORKER_HOSTNAMES", "SLURM_JOB_NUM_NODES"):
+        monkeypatch.delenv(v, raising=False)
+    assert cluster_detected() is False
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert cluster_detected() is False  # single worker (this image)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+    assert cluster_detected() is True
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "1")
+    assert cluster_detected() is False
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "4")
+    assert cluster_detected() is True
+    monkeypatch.delenv("SLURM_JOB_NUM_NODES")
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    assert cluster_detected() is True

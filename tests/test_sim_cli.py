@@ -114,9 +114,46 @@ def test_simulation_status_fields():
     sim = Simulation(z=6, n=8, pad_to=8)
     s = sim.status()
     for k in ("isotope", "z", "n", "half_life", "alive", "decay_counts",
-              "time_passed", "time_scale", "backend"):
+              "time_passed", "time_scale", "backend", "fps",
+              "substeps_per_sec"):
         assert k in s
     assert s["alive"] == 14
+
+
+def test_simulation_throughput_observability():
+    """The driver tracks fps/substeps-per-sec over retired frames (the
+    reference's 30-frame FPS deque, nuclear_sim.py:60, 119-121)."""
+    sim = Simulation(z=2, n=2, pad_to=8)
+    for _ in range(8):  # enough to fill the 4-deep pipeline and retire
+        sim.frame()
+    s = sim.status()
+    assert s["fps"] > 0
+    assert s["substeps_per_sec"] > 0
+    # substeps/s is consistent with fps x substeps-per-frame.
+    assert s["substeps_per_sec"] == pytest.approx(
+        s["fps"] * sim.substeps_used, rel=0.5
+    )
+
+
+def test_substeps_exact_without_auto_adjust():
+    """With auto-adjust off, substep counts must match the reference's exact
+    integer (nuclear_sim.py:153) — no ladder snapping (ADVICE r2)."""
+    sim = Simulation(z=2, n=2, pad_to=8)
+    sim.physics_dt = 1.0 / 240.0
+    # frame_dt * ts / dt = 7 exactly: the ladder would snap this to 6.
+    num, _ = sim._schedule(7.0 / 240.0)
+    assert num == 7
+    sim.auto_adjust_substeps = True
+    sim.time_scale = 1.0  # auto path with ts == 1 keeps physics_dt
+    num, _ = sim._schedule(7.0 / 240.0)
+    assert num == 6  # ladder applies only in auto-adjust mode
+
+
+def test_run_zero_frames_returns_last_metrics():
+    sim = Simulation(z=2, n=2, pad_to=8)
+    assert sim.run(0) is None  # no frames yet -> last_metrics is None
+    m = sim.frame()
+    assert sim.run(0) is m
 
 
 def test_simulation_ensemble_mode():

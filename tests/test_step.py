@@ -177,3 +177,48 @@ def test_empty_state_steps_safely():
     assert not bool(m["nan"])
     assert int(st2.decay_counts.sum()) == 0
     assert np.isfinite(np.asarray(st2.pos)).all()
+
+
+def test_batched_overlap_prime_batch_pads():
+    """A prime batch must pad up to a chunk multiple, not degrade to
+    chunk=1 sequential dispatches (VERDICT r2 weak #7)."""
+    from pyqmd_tpu.core.step import _batched_overlap
+
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)
+    b = 13  # prime, > max_chunk below
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.uniform(key, (b, 8, 2), minval=0.0, maxval=3.0)
+    alive = jnp.ones((b, 8), bool)
+    keys = jax.random.split(jax.random.PRNGKey(1), b)
+    out = _batched_overlap(pos, alive, keys, cfg, max_chunk=4)
+    assert out.shape == (b, 8, 2)
+    # Matches the unchunked vmap on every real member.
+    ref = jax.vmap(lambda p, a, k: resolve_overlaps(p, a, k, cfg))(
+        pos, alive, keys
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_ejecta_lifetime_uses_raw_physics_dt():
+    """The lifetime dt factor reads the raw physics dt, not the
+    accuracy-scaled effective dt (nuclear_sim.py:327; ADVICE r2)."""
+    from pyqmd_tpu.core.decay import ejecta_lifetime
+
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)
+    raw = 1.0 / 240.0
+    eff = raw * 1.5  # accuracy = 0.5
+    dyn = FrameDynamics(
+        jnp.float32(1000.0), jnp.float32(4.0), jnp.float32(eff),
+        jnp.float32(1.0), jnp.float32(raw),
+    )
+    life = float(ejecta_lifetime(jnp.asarray(ALPHA), dyn, cfg))
+    # fast branch: base * max(tf*sf*df, sf) with df from the RAW dt.
+    tf, sf, df = 10.0, 2.0, 0.016 / raw
+    assert life == pytest.approx(5.0 * tf * sf * df, rel=1e-5)
+    # Backward-compatible default: raw omitted -> falls back to physics_dt.
+    dyn4 = FrameDynamics(
+        jnp.float32(1000.0), jnp.float32(4.0), jnp.float32(raw), jnp.float32(1.0)
+    )
+    assert float(ejecta_lifetime(jnp.asarray(ALPHA), dyn4, cfg)) == pytest.approx(
+        life, rel=1e-5
+    )
