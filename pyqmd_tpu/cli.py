@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--width", type=int, default=800)
     p.add_argument("--height", type=int, default=600)
+    p.add_argument(
+        "--no-panels", action="store_true",
+        help="render without the info/decay-chain panel overlays",
+    )
     p.add_argument("--save", metavar="PATH", help="write checkpoint at end")
     p.add_argument("--load", metavar="PATH", help="resume from checkpoint")
     p.add_argument("-i", "--interactive", action="store_true", help="REPL mode")
@@ -123,6 +127,9 @@ def print_status(sim: Simulation) -> None:
           + ("  (auto)" if getattr(sim, "auto_adjust_substeps", False) else ""))
     if "physics_dt" in s:
         print(f"  physics dt: {s['physics_dt']:.6f}s")
+    if s.get("fps"):
+        print(f"  throughput: {s['fps']:.1f} fps, "
+              f"{s['substeps_per_sec']:.0f} substeps/s")
     counts = {
         DECAY_TYPE_NAMES[i]: c for i, c in enumerate(s["decay_counts"]) if c and i
     }
@@ -146,6 +153,7 @@ HELP = """commands (reference keybinding in brackets):
   accuracy VALUE  set accuracy factor (0-1)
   substeps N      set max substeps per frame         [-/+]
   chain           show decay chain                   [decay-chain panel]
+  scroll N|reset  scroll decay-chain panel by N      [PgUp/PgDn/C]
   status          show info panel
   show [ascii]    color/ASCII view of the nucleus    [main viewport]
   watch [SECS]    live 60fps ASCII view              [run loop]
@@ -244,6 +252,14 @@ def interactive(sim: Simulation) -> None:
                         f"{isotope_label(*e['child'])} ({e['symbol']}) "
                         f"after {format_time_value_with_unit(e['duration'])}"
                     )
+            elif cmd == "scroll":
+                # PgUp/PgDn/C chain-scroll analog (nuclear_sim.py:507-519);
+                # clamped to content by the panel composer on render.
+                if args and args[0] == "reset":
+                    sim.chain_scroll = 0
+                else:
+                    sim.chain_scroll = max(0, sim.chain_scroll + int(args[0]))
+                print(f"  chain scroll: {sim.chain_scroll}")
             elif cmd == "status":
                 print_status(sim)
             elif cmd == "show":
@@ -342,7 +358,9 @@ def main(argv: list[str] | None = None) -> int:
         for f in range(args.frames):
             sim.frame(args.frame_dt)
             if args.render and args.render_every and f % args.render_every == 0:
-                frames.append(sim.render(args.width, args.height))
+                frames.append(
+                    sim.render(args.width, args.height, panels=not args.no_panels)
+                )
 
     print_status(sim)
     if args.render:
@@ -353,7 +371,10 @@ def main(argv: list[str] | None = None) -> int:
         elif sim.batched:
             write_png(args.render, sim.render_grid())  # ensemble montage
         else:
-            write_png(args.render, sim.render(args.width, args.height))
+            write_png(
+                args.render,
+                sim.render(args.width, args.height, panels=not args.no_panels),
+            )
         print("wrote", args.render)
     if args.save:
         sim.save(args.save)

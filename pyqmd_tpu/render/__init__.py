@@ -1,6 +1,15 @@
-"""Headless rendering: device rasterizer + stdlib PNG/APNG export."""
+"""Headless rendering: device rasterizer + host panel overlays + PNG export."""
 
 from pyqmd_tpu.render.framebuffer import render_frame, render_to_host
+from pyqmd_tpu.render.panels import burn_overlay, compose_panels
 from pyqmd_tpu.render.png import png_bytes, write_apng, write_png
 
-__all__ = ["render_frame", "render_to_host", "png_bytes", "write_apng", "write_png"]
+__all__ = [
+    "render_frame",
+    "render_to_host",
+    "compose_panels",
+    "burn_overlay",
+    "png_bytes",
+    "write_apng",
+    "write_png",
+]

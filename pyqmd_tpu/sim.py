@@ -108,6 +108,7 @@ class Simulation:
         self.zoom = 15.0
         self.target_zoom = 15.0
         self.zoom_speed = 0.1
+        self.chain_scroll = 0  # decay-chain panel scroll (rendering.py:528-536)
         self._chain_seen = 0
         self._decay_log: list[str] = []
         self._init_observability()
@@ -453,15 +454,39 @@ class Simulation:
 
     # -- render & persistence -------------------------------------------------
 
-    def render(self, width: int = 800, height: int = 600, index: int = 0):
+    def render(
+        self,
+        width: int = 800,
+        height: int = 600,
+        index: int = 0,
+        panels: bool = True,
+        controls: bool = True,
+    ):
         """Rasterize the current nucleus (``index`` selects an ensemble
-        member) to a host (H, W, 3) uint8 array."""
-        from pyqmd_tpu.render import render_to_host
+        member) to a host (H, W, 3) uint8 array.
+
+        ``panels=True`` burns the info panel and the decay-chain panel into
+        the frame (the reference draws both every frame,
+        rendering.py:135-380): particles/ruler rasterize on device, the text
+        overlay composes on host (it changes at most once per frame) and
+        burns in one vectorized masked write.
+        """
+        from pyqmd_tpu.render import burn_overlay, compose_panels, render_to_host
 
         state = self.state
         if self.batched:
             state = jax.tree.map(lambda a: a[index], state)
-        return render_to_host(state, tuple(self.camera), self.zoom, width, height)
+        img = render_to_host(state, tuple(self.camera), self.zoom, width, height)
+        if panels:
+            chain = None if self.batched else self.chain_entries()
+            rgb, mask = compose_panels(
+                width, height, self.status(), chain,
+                max_substeps=self.max_substeps,
+                chain_scroll=self.chain_scroll,
+                controls=controls,
+            )
+            img = burn_overlay(img, rgb, mask)
+        return img
 
     def _render_fit(self, width: int, height: int, index: int = 0):
         """Render with the view fitted to the nucleus extent (the REPL
@@ -565,6 +590,7 @@ class Simulation:
         sim.zoom = 15.0
         sim.target_zoom = 15.0
         sim.zoom_speed = 0.1
+        sim.chain_scroll = 0
         sim._chain_seen = int(state.chain_cursor) if state.pos.ndim == 2 else 0
         sim._decay_log = []
         sim.last_metrics = None

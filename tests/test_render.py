@@ -182,3 +182,119 @@ def test_ruler_label_burned_in():
     img = render_to_host(st, (400.0, 400.0), 15.0, 480, 360, ruler=True)
     label_region = img[360 - 50 - 25 : 360 - 50 - 11, 50:150]
     assert (label_region.sum(-1) > 0).sum() > 50  # glyph pixels lit
+
+
+# --- font + panels (rendering.py:135-380 equivalents) ------------------------
+
+
+def test_font_full_glyph_coverage():
+    from pyqmd_tpu.render.font import render_text, text_width
+
+    for s in ("U-238", "Half-life: 4.47e+03 million years",
+              "U-238 → Th-234 (α)", "β-", "γ", "164.30 μs", "↑ More ↑"):
+        m = render_text(s, scale=1)
+        assert m.shape == (7, len(s) * 6)
+        assert m.sum() > 0, s
+    # Every printable char the panels use has a real glyph.
+    import string
+
+    for ch in string.ascii_letters + string.digits + ".,:-+/()[]<>=%'!?*":
+        assert render_text(ch, 1).sum() > 0, repr(ch)
+    assert render_text("\x7f", 1).sum() == 0  # unknown -> blank
+    assert text_width("ab", 2) == 24
+
+
+def test_compose_panels_info_content():
+    """The info panel burns the reference's items (rendering.py:135-246):
+    exact text bitmaps at the tracked line positions."""
+    from pyqmd_tpu import Simulation
+    from pyqmd_tpu.render.font import render_text
+    from pyqmd_tpu.render.panels import compose_panels
+
+    sim = Simulation(z=92, n=146, seed=0, pad_to=128)
+    rgb, mask = compose_panels(
+        800, 600, sim.status(), sim.chain_entries(),
+        max_substeps=sim.max_substeps,
+    )
+    assert rgb.shape == (600, 800, 3) and mask.shape == (600, 800)
+    x, lh = 10, 18  # scale=2 layout
+    lines = {
+        0: ("Acceleration: TPU (JNP)", (100, 255, 100)),
+        1: ("Zoom: 15.0x", (200, 200, 255)),
+        2: ("Element: Uranium (U)", (255, 255, 255)),
+        3: ("Isotope: U-238", (255, 255, 255)),
+        4: ("Protons: 92", (255, 100, 100)),
+        5: ("Neutrons: 146", (100, 100, 255)),
+    }
+    for i, (text, color) in lines.items():
+        m = render_text(text, 2) > 0
+        y = 10 + i * lh
+        region = mask[y : y + m.shape[0], x : x + m.shape[1]]
+        np.testing.assert_array_equal(region, m, err_msg=text)
+        assert (rgb[y : y + m.shape[0], x : x + m.shape[1]][m] == color).all(), text
+    # Half-life line color-coded green for U-238 (>1M years bucket).
+    m = render_text("Half-life: 4.47e+03 million years", 2) > 0
+    y = 10 + 6 * lh
+    np.testing.assert_array_equal(mask[y : y + 14, x : x + m.shape[1]], m)
+    assert (rgb[y : y + 14, x : x + m.shape[1]][m] == (100, 255, 100)).all()
+
+
+def test_compose_panels_decay_chain_content():
+    from pyqmd_tpu import Simulation
+    from pyqmd_tpu.render.panels import CHAIN_BG, CHAIN_CURRENT, compose_panels
+
+    sim = Simulation(z=92, n=146, seed=0, pad_to=128)
+    for _ in range(3):
+        sim.force_decay()
+    assert sim.isotope == "U-234"  # U-238 -> Th-234 -> Pa-234 -> U-234
+    rgb, mask = compose_panels(
+        800, 600, sim.status(), sim.chain_entries(),
+        max_substeps=sim.max_substeps,
+    )
+    right = rgb[:, 570:]
+    # Panel background present (rendering.py:255-257).
+    assert (np.all(right == CHAIN_BG, axis=-1)).sum() > 1000
+    # Current (most recent) entry highlighted (rendering.py:349-351).
+    assert (np.all(right == CHAIN_CURRENT, axis=-1)).sum() > 10
+    # Decay Statistics counters present: ALPHA color (255,200,0) in the left
+    # column (one alpha so far).
+    left = rgb[:, :300]
+    assert (np.all(left == (255, 200, 0), axis=-1)).sum() > 10
+
+
+def test_compose_panels_scroll_clamps():
+    from pyqmd_tpu.render.panels import compose_panels
+
+    chain = [
+        dict(index=i, parent=(92, 146 - i), child=(92, 145 - i),
+             symbol="α", duration=1.0)
+        for i in range(30)
+    ]
+    status = dict(isotope="U-238", time_scale=1.0, substeps=4,
+                  decay_counts=[0] * 8)
+    # Absurd scroll values must clamp, not crash (rendering.py:289-292).
+    for scroll in (0, 5, 10**6, -3):
+        rgb, mask = compose_panels(400, 300, status, chain, chain_scroll=scroll)
+        assert mask.any()
+
+
+def test_render_with_panels_golden():
+    """Full frame with burned-in panels: deterministic and distinct from the
+    panel-less frame; panel pixels match the composed overlay exactly."""
+    from pyqmd_tpu import Simulation
+    from pyqmd_tpu.render.panels import compose_panels
+
+    sim = Simulation(z=92, n=146, seed=0, pad_to=128)
+    sim.force_decay()
+    img = sim.render(640, 480)
+    bare = sim.render(640, 480, panels=False)
+    assert img.shape == bare.shape == (480, 640, 3)
+    assert (img != bare).any()
+    rgb, mask = compose_panels(
+        640, 480, sim.status(), sim.chain_entries(),
+        max_substeps=sim.max_substeps, chain_scroll=sim.chain_scroll,
+    )
+    np.testing.assert_array_equal(img[mask], rgb[mask])
+    np.testing.assert_array_equal(img[~mask], bare[~mask])
+    # Deterministic across calls.
+    np.testing.assert_array_equal(sim.render(640, 480), img)

@@ -258,6 +258,7 @@ def test_cli_interactive_all_commands(tmp_path, capsys, monkeypatch):
         "accuracy 0.8",
         "substeps 10",
         "chain",
+        "scroll 2", "scroll -1", "scroll reset",
         "show ascii",
         "show",
         f"render {png}",
