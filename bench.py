@@ -131,7 +131,20 @@ def bench_halflife_accuracy(batch=32768, frames=20):
     return abs(fit_hl - hl_true) / hl_true
 
 
-def bench_render(fps_frames=5):
+def bench_render(fps_frames=30):
+    """Render throughput (fps) at 800x600.
+
+    Primary: per-frame fence. The axon tunnel sometimes acknowledges
+    fences at enqueue, so implausible results fall back to pipelined
+    dispatch with a full host readback of the LAST frame — a valid fence
+    for all frames because the TPU executes enqueued programs in FIFO
+    order. The per-frame-full-readback rate is also measured for
+    transparency: through the axon tunnel one 1.4 MB image readback is an
+    RPC-bound ~67 ms (≈1 ms on a directly-attached host), so that number
+    reflects the tunnel, not the renderer.
+
+    Returns (fps, per_frame_readback_fps).
+    """
     from pyqmd_tpu.render import render_frame
 
     cfg = SimConfig.for_isotope(92, 146, pad_to=128)
@@ -143,15 +156,19 @@ def bench_render(fps_frames=5):
         img = render_frame(st, (400.0, 400.0), 10.0, 800, 600)
         jax.block_until_ready(img)
     fps = fps_frames / (time.perf_counter() - t0)
-    if fps > 500:  # enqueue-ack artifact: fall back to readback fencing,
-        # which through the axon tunnel is RPC-bound (a lower bound; local
-        # hosts read 1.4 MB back in ~1 ms).
+    if fps > 500:  # enqueue-ack artifact: pipelined + final readback.
         t0 = time.perf_counter()
         for _ in range(fps_frames):
             img = render_frame(st, (400.0, 400.0), 10.0, 800, 600)
-            np.asarray(img)
+        np.asarray(img)  # FIFO order: fences every frame above
         fps = fps_frames / (time.perf_counter() - t0)
-    return fps
+    n_rb = max(5, fps_frames // 6)
+    t0 = time.perf_counter()
+    for _ in range(n_rb):
+        img = render_frame(st, (400.0, 400.0), 10.0, 800, 600)
+        np.asarray(img)
+    rb_fps = n_rb / (time.perf_counter() - t0)
+    return fps, rb_fps
 
 
 def main():
@@ -194,7 +211,9 @@ def main():
         extras["he4_error"] = f"{type(e).__name__}: {e}"[:200]
 
     try:
-        extras["render_fps_800x600"] = round(bench_render(), 1)
+        fps, rb_fps = bench_render()
+        extras["render_fps_800x600"] = round(fps, 1)
+        extras["render_fps_with_per_frame_tunnel_readback"] = round(rb_fps, 1)
     except Exception as e:
         extras["render_error"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -298,3 +298,39 @@ def test_render_with_panels_golden():
     np.testing.assert_array_equal(img[~mask], bare[~mask])
     # Deterministic across calls.
     np.testing.assert_array_equal(sim.render(640, 480), img)
+
+
+def test_windowed_matches_full_frame_path():
+    """The windowed painter path and the full-frame winner path are
+    bitwise-identical across zooms (same f32 coverage math)."""
+    from pyqmd_tpu.render.framebuffer import _render_full, render_frame
+
+    cfg = SimConfig.for_isotope(26, 30, pad_to=8)
+    st = init_state(cfg, seed=3)
+    st = st.replace(  # a couple of ejecta too
+        ej_pos=st.ej_pos.at[0].set(jax.numpy.array([405.0, 398.0]))
+        .at[1].set(jax.numpy.array([404.0, 399.0])),
+        ej_type=st.ej_type.at[0].set(ALPHA).at[1].set(GAMMA),
+        ej_age=st.ej_age.at[0].set(0.5).at[1].set(0.2),
+        ej_life=st.ej_life.at[0].set(2.0).at[1].set(1.0),
+        ej_alive=st.ej_alive.at[0].set(True).at[1].set(True),
+        ej_cursor=jax.numpy.asarray(2, jax.numpy.int32),
+    )
+    for zoom in (0.5, 4.0, 10.0, 15.0):
+        a = np.asarray(render_frame(st, (400.0, 400.0), zoom, 320, 240))
+        b = np.asarray(_render_full(st, (400.0, 400.0), zoom, 320, 240))
+        np.testing.assert_array_equal(a, b, err_msg=f"zoom={zoom}")
+    # Huge zoom falls back to the full path (discs larger than any window).
+    big = np.asarray(render_frame(st, (400.0, 400.0), 100.0, 320, 240))
+    assert big.shape == (240, 320, 3)
+
+
+def test_render_frame_traced_zoom_falls_back():
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)
+    st = init_state(cfg, seed=0)
+    from pyqmd_tpu.render import render_frame
+
+    f = jax.jit(lambda s, z: render_frame(s, (400.0, 400.0), z, 160, 120))
+    img = np.asarray(f(st, 10.0))
+    ref = np.asarray(render_frame(st, (400.0, 400.0), 10.0, 160, 120))
+    np.testing.assert_array_equal(img, ref)
