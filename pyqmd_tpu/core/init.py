@@ -136,15 +136,97 @@ def init_state(cfg: SimConfig, seed: int = 0, key: jax.Array | None = None) -> N
     return _init_from_key(cfg, key)
 
 
-def ensemble_init(cfg: SimConfig, batch: int, seed: int = 0) -> NucleusState:
+def ensemble_init(
+    cfg: SimConfig,
+    batch: int,
+    seed: int = 0,
+    method: str = "auto",
+    pool: int = 256,
+) -> NucleusState:
     """Build a batch of independently-seeded nuclei: the P1 ensemble axis.
 
     The reference supports exactly one nucleus per process
     (nuclear_sim.py:48, 92-93); here the ensemble is a vmapped leading axis
     ready to shard over a device mesh.
+
+    ``method``:
+      * ``"exact"`` — every member runs the full sequential best-of-20
+        shell placement (particles.py:62-124). The placement loop is A
+        sequential steps that vectorize over the batch but not over the
+        loop, so a 64k U-238 ensemble costs ~30 s.
+      * ``"pool"`` — ``pool`` exact placements are built once, then each
+        member samples one and applies an independent random rotation
+        about the nucleus origin (the shell construction is rotationally
+        symmetric, so a rotated placement is exactly as probable as any
+        direct draw). ~100x faster at 64k; members share at most ``pool``
+        base geometries up to rotation (docs/PARITY.md departure).
+      * ``"auto"`` — exact when ``batch <= pool``, else pool.
+
+    Either way every member gets an independent PRNG stream and half-life
+    draw, so decay statistics are unaffected by the method.
     """
+    if method == "auto":
+        method = "exact" if batch <= pool else "pool"
     keys = jax.random.split(jax.random.PRNGKey(seed), batch)
-    return jax.vmap(lambda k: _init_from_key(cfg, k))(keys)
+    if method == "exact":
+        return jax.vmap(lambda k: _init_from_key(cfg, k))(keys)
+    if method != "pool":
+        raise ValueError(f"unknown init method {method!r}")
+
+    pool_n = min(pool, batch)
+    # Fold the pool keys off the member keys' space (seed+1 stream) so pool
+    # geometry is independent of per-member draws.
+    pool_keys = jax.random.split(jax.random.PRNGKey(seed + 1), pool_n)
+    pool_states = jax.vmap(lambda k: _init_from_key(cfg, k))(pool_keys)
+    pool_pos = pool_states.pos  # (pool_n, P, 2)
+    origin = jnp.array([cfg.origin_x, cfg.origin_y], jnp.float32)
+
+    def member(key: jax.Array) -> NucleusState:
+        k_sel, k_rot, k_member = jax.random.split(key, 3)
+        i = jax.random.randint(k_sel, (), 0, pool_n)
+        theta = jax.random.uniform(k_rot, maxval=2.0 * jnp.pi)
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        rel = pool_pos[i] - origin
+        rot = jnp.stack(
+            [rel[:, 0] * c - rel[:, 1] * s, rel[:, 0] * s + rel[:, 1] * c],
+            axis=-1,
+        )
+        st = _member_identity(cfg, k_member)
+        return st.replace(pos=jnp.where(st.alive[:, None], origin + rot, origin))
+
+    return jax.vmap(member)(keys)
+
+
+def _member_identity(cfg: SimConfig, key: jax.Array) -> NucleusState:
+    """Everything of a fresh member except the placement geometry: types,
+    alive mask, (Z, N), per-member half-life draw, RNG stream, chain seed —
+    the tail of :func:`_init_from_key` without the placement loop."""
+    a = cfg.z + cfg.n
+    p = cfg.max_particles
+    shell_idx, is_proton = placement_order(cfg.z, cfg.n)
+    ptype = jnp.asarray(
+        np.pad(np.where(is_proton, PROTON, NEUTRON).astype(np.int32), (0, p - a))
+    )
+    slot = jnp.arange(p)
+    _, _, hl_key, state_key = jax.random.split(key, 4)
+    st = empty_state(cfg)
+    hl = tables.half_life(
+        jnp.asarray(cfg.z), jnp.asarray(cfg.n), jax.random.uniform(hl_key)
+    )
+    return st.replace(
+        ptype=ptype,
+        alive=slot < a,
+        z=jnp.asarray(cfg.z, jnp.int32),
+        n=jnp.asarray(cfg.n, jnp.int32),
+        half_life=hl,
+        rng=jax.random.key_data(state_key).astype(jnp.uint32),
+        chain_z0=st.chain_z0.at[0].set(cfg.z),
+        chain_n0=st.chain_n0.at[0].set(cfg.n),
+        chain_dtype=st.chain_dtype.at[0].set(DECAY_NONE),
+        chain_z1=st.chain_z1.at[0].set(cfg.z),
+        chain_n1=st.chain_n1.at[0].set(cfg.n),
+        chain_cursor=jnp.asarray(1, jnp.int32),
+    )
 
 
 def mixed_ensemble_init(
