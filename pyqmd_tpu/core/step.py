@@ -77,13 +77,22 @@ def advance_ejecta(state: NucleusState, cfg: SimConfig, dyn: FrameDynamics) -> N
 
 
 def substep(
-    state: NucleusState, cfg: SimConfig, dyn: FrameDynamics, key: jax.Array
+    state: NucleusState,
+    cfg: SimConfig,
+    dyn: FrameDynamics,
+    key: jax.Array,
+    force_step_fn=None,
 ) -> NucleusState:
     """One physics substep: ejecta, decay check, force+integrate
-    (nuclear_sim.py:161-173)."""
+    (nuclear_sim.py:161-173).
+
+    ``force_step_fn`` overrides the backend dispatch — used by the
+    particle-axis ppermute ring (SURVEY §2 P5) to run the force step
+    sharded while the rest of the frame stays replicated.
+    """
     state = advance_ejecta(state, cfg, dyn)
     state, _ = maybe_decay(state, cfg, key, dyn)
-    fstep = select_force_step(cfg)
+    fstep = force_step_fn or select_force_step(cfg)
     pos, vel = fstep(
         state.pos, state.vel, state.ptype, state.alive, dyn.physics_dt, cfg
     )
@@ -98,6 +107,7 @@ def simulate_frame(
     num_steps: int,
     physics_dt=None,
     raw_physics_dt=None,
+    force_step_fn=None,
 ) -> tuple[NucleusState, dict]:
     """Advance one frame: ``num_steps`` substeps under ``lax.scan`` then
     overlap resolution (nuclear_sim.py:118-176).
@@ -131,7 +141,7 @@ def simulate_frame(
     key_steps, key_overlap, key_next = jax.random.split(base, 3)
 
     def body(st, k):
-        return substep(st, cfg, dyn, k), None
+        return substep(st, cfg, dyn, k, force_step_fn), None
 
     state, _ = jax.lax.scan(body, state, jax.random.split(key_steps, num_steps))
 

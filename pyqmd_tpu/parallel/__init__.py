@@ -16,7 +16,7 @@ from pyqmd_tpu.parallel.mesh import (
     shard_ensemble,
 )
 from pyqmd_tpu.parallel.multihost import initialize_multihost, local_batch_slice
-from pyqmd_tpu.parallel.ring import make_ring_force_step
+from pyqmd_tpu.parallel.ring import make_ring_force_step, make_ring_frame_fn
 
 __all__ = [
     "DATA_AXIS",
@@ -26,6 +26,7 @@ __all__ = [
     "initialize_multihost",
     "local_batch_slice",
     "make_ring_force_step",
+    "make_ring_frame_fn",
     "make_sharded_frame_fn",
     "replicated",
     "shard_ensemble",

@@ -59,21 +59,60 @@ def _ring_force_local(pos, vel, ptype, alive, dt, cfg: SimConfig, axis: str):
     return jnp.where(keep, new_pos, pos), jnp.where(keep, new_vel, vel)
 
 
-def make_ring_force_step(cfg: SimConfig, mesh, axis: str = MODEL_AXIS):
-    """Build a jitted force step with the particle axis sharded over
-    ``axis``. Drop-in semantics of :func:`core.forces.force_step` for
-    (P, 2) arrays with P divisible by the axis size."""
+def _make_ring_shard(cfg: SimConfig, mesh, axis: str):
     spec2 = P(axis, None)
     spec1 = P(axis)
-
     local = functools.partial(_ring_force_local, cfg=cfg, axis=axis)
-    shard = jax.shard_map(
+    return jax.shard_map(
         lambda pos, vel, t, a, dt: local(pos, vel, t, a, dt),
         mesh=mesh,
         in_specs=(spec2, spec2, spec1, spec1, P()),
         out_specs=(spec2, spec2),
         check_vma=False,
     )
+
+
+def make_ring_frame_fn(cfg: SimConfig, num_steps: int, mesh, axis: str = MODEL_AXIS):
+    """Jit-compiled FULL frame with the force step model-sharded.
+
+    The complete workload of :func:`pyqmd_tpu.core.step.simulate_frame`
+    (ejecta advection, decay sampling + masked transitions, chain log,
+    overlap resolution) runs replicated over ``axis`` while every substep's
+    O(N^2) force+integrate runs as the ppermute ring over the particle
+    axis — the sequence-parallel layout where one nucleus is too big for a
+    core but decay bookkeeping is tiny. GSPMD inserts the gather from the
+    ring's sharded output back to the replicated layout the decay masks
+    need. Equality with the dense frame is pinned by
+    ``tests/test_parallel.py``.
+
+    ``cfg.max_particles`` must be divisible by the ``axis`` mesh size.
+    """
+    from pyqmd_tpu.core.step import simulate_frame
+
+    if cfg.max_particles % mesh.shape[axis]:
+        raise ValueError(
+            f"max_particles={cfg.max_particles} not divisible by "
+            f"mesh axis {axis!r} size {mesh.shape[axis]}"
+        )
+    ring = _make_ring_shard(cfg, mesh, axis)
+
+    def fstep(pos, vel, ptype, alive, dt, _cfg):
+        return ring(pos, vel, ptype, alive, jnp.asarray(dt, jnp.float32))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def frame(state, time_scale, frame_dt):
+        return simulate_frame(
+            state, cfg, time_scale, frame_dt, num_steps, force_step_fn=fstep
+        )
+
+    return frame
+
+
+def make_ring_force_step(cfg: SimConfig, mesh, axis: str = MODEL_AXIS):
+    """Build a jitted force step with the particle axis sharded over
+    ``axis``. Drop-in semantics of :func:`core.forces.force_step` for
+    (P, 2) arrays with P divisible by the axis size."""
+    shard = _make_ring_shard(cfg, mesh, axis)
 
     @jax.jit
     def step(pos, vel, ptype, alive, dt):

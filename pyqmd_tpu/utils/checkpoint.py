@@ -52,7 +52,15 @@ def save_checkpoint_orbax(path: str, state: NucleusState, cfg: SimConfig) -> Non
         json.dump({"version": _FORMAT_VERSION, "config": dataclasses.asdict(cfg)}, f)
 
 
-def load_checkpoint_orbax(path: str) -> tuple[NucleusState, SimConfig]:
+def load_checkpoint_orbax(
+    path: str, sharding_state: NucleusState | None = None
+) -> tuple[NucleusState, SimConfig]:
+    """Restore an Orbax checkpoint.
+
+    ``sharding_state`` (optional) is a template pytree — typically the
+    sharded ensemble about to be replaced — whose shapes/dtypes/shardings
+    the restore reproduces, so a mesh-sharded ensemble loads directly into
+    its device layout instead of through replicated host arrays."""
     import os
 
     import orbax.checkpoint as ocp
@@ -63,8 +71,18 @@ def load_checkpoint_orbax(path: str) -> tuple[NucleusState, SimConfig]:
     if meta.get("version") != _FORMAT_VERSION:
         raise ValueError(f"unsupported checkpoint version {meta.get('version')}")
     cfg = SimConfig(**meta["config"])
+    target = None
+    if sharding_state is not None:
+        target = {
+            f.name: jax.ShapeDtypeStruct(
+                getattr(sharding_state, f.name).shape,
+                getattr(sharding_state, f.name).dtype,
+                sharding=getattr(sharding_state, f.name).sharding,
+            )
+            for f in dataclasses.fields(sharding_state)
+        }
     with ocp.StandardCheckpointer() as ckptr:
-        arrays = ckptr.restore(os.path.join(path, "state"))
+        arrays = ckptr.restore(os.path.join(path, "state"), target)
     return NucleusState(**{k: jax.numpy.asarray(v) for k, v in arrays.items()}), cfg
 
 
