@@ -154,6 +154,8 @@ HELP = """commands (reference keybinding in brackets):
   substeps N      set max substeps per frame         [-/+]
   chain           show decay chain                   [decay-chain panel]
   scroll N|reset  scroll decay-chain panel by N      [PgUp/PgDn/C]
+  iscroll N|reset scroll info panel by N lines       [mouse wheel on panel]
+  size W H        set the default viewport size      [VIDEORESIZE]
   status          show info panel
   show [ascii]    color/ASCII view of the nucleus    [main viewport]
   watch [SECS]    live 60fps ASCII view              [run loop]
@@ -260,6 +262,16 @@ def interactive(sim: Simulation) -> None:
                 else:
                     sim.chain_scroll = max(0, sim.chain_scroll + int(args[0]))
                 print(f"  chain scroll: {sim.chain_scroll}")
+            elif cmd == "iscroll":
+                # Info-panel scroll (rendering.py:140, 534-536).
+                if args and args[0] == "reset":
+                    sim.info_scroll = 0
+                else:
+                    sim.info_scroll = max(0, sim.info_scroll + int(args[0]))
+                print(f"  info scroll: {sim.info_scroll}")
+            elif cmd == "size":
+                sim.resize(int(args[0]), int(args[1]))
+                print(f"  viewport: {sim.view_width}x{sim.view_height}")
             elif cmd == "status":
                 print_status(sim)
             elif cmd == "show":

@@ -140,11 +140,17 @@ CONTROLS = (
 
 
 def draw_info_panel(
-    canvas: OverlayCanvas, status: dict, max_substeps: int, controls: bool = True
+    canvas: OverlayCanvas,
+    status: dict,
+    max_substeps: int,
+    controls: bool = True,
+    scroll: int = 0,
 ):
-    """Info panel, top-left (rendering.py:135-246)."""
+    """Info panel, top-left (rendering.py:135-246). ``scroll`` shifts the
+    column up by that many lines (the reference's ``info_panel_scroll``,
+    rendering.py:140, 534-536); off-screen lines are culled by text()."""
     lh = canvas.line_height
-    x, y = 5 * canvas.scale, 5 * canvas.scale
+    x, y = 5 * canvas.scale, 5 * canvas.scale - max(0, scroll) * lh
     backend = status.get("backend", "jnp")
     y = canvas.text(
         x, y, f"Acceleration: TPU ({backend.upper()})", ACCEL_ON
@@ -275,6 +281,7 @@ def compose_panels(
     *,
     max_substeps: int = 20,
     chain_scroll: int = 0,
+    info_scroll: int = 0,
     controls: bool = True,
     scale: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -282,7 +289,9 @@ def compose_panels(
     if scale is None:
         scale = 2 if min(width, height) >= 400 else 1
     canvas = OverlayCanvas(width, height, scale)
-    draw_info_panel(canvas, status, max_substeps, controls=controls)
+    draw_info_panel(
+        canvas, status, max_substeps, controls=controls, scroll=info_scroll
+    )
     if chain is not None:
         draw_decay_chain(canvas, chain, scroll=chain_scroll)
     return canvas.rgb, canvas.mask

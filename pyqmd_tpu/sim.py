@@ -109,6 +109,10 @@ class Simulation:
         self.target_zoom = 15.0
         self.zoom_speed = 0.1
         self.chain_scroll = 0  # decay-chain panel scroll (rendering.py:528-536)
+        self.info_scroll = 0  # info panel scroll lines (rendering.py:140, 534-536)
+        # Default viewport size; the resize analog (nuclear_sim.py:419-428).
+        self.view_width = 800
+        self.view_height = 600
         self._chain_seen = 0
         self._decay_log: list[str] = []
         self._init_observability()
@@ -454,10 +458,16 @@ class Simulation:
 
     # -- render & persistence -------------------------------------------------
 
+    def resize(self, width: int, height: int):
+        """Set the default viewport size (the VIDEORESIZE handler analog,
+        nuclear_sim.py:387-389, 419-428)."""
+        self.view_width = max(16, int(width))
+        self.view_height = max(16, int(height))
+
     def render(
         self,
-        width: int = 800,
-        height: int = 600,
+        width: int | None = None,
+        height: int | None = None,
         index: int = 0,
         panels: bool = True,
         controls: bool = True,
@@ -473,6 +483,8 @@ class Simulation:
         """
         from pyqmd_tpu.render import burn_overlay, compose_panels, render_to_host
 
+        width = width or self.view_width
+        height = height or self.view_height
         state = self.state
         if self.batched:
             state = jax.tree.map(lambda a: a[index], state)
@@ -483,6 +495,7 @@ class Simulation:
                 width, height, self.status(), chain,
                 max_substeps=self.max_substeps,
                 chain_scroll=self.chain_scroll,
+                info_scroll=self.info_scroll,
                 controls=controls,
             )
             img = burn_overlay(img, rgb, mask)
@@ -591,6 +604,9 @@ class Simulation:
         sim.target_zoom = 15.0
         sim.zoom_speed = 0.1
         sim.chain_scroll = 0
+        sim.info_scroll = 0
+        sim.view_width = 800
+        sim.view_height = 600
         sim._chain_seen = int(state.chain_cursor) if state.pos.ndim == 2 else 0
         sim._decay_log = []
         sim.last_metrics = None

@@ -334,3 +334,24 @@ def test_render_frame_traced_zoom_falls_back():
     img = np.asarray(f(st, 10.0))
     ref = np.asarray(render_frame(st, (400.0, 400.0), 10.0, 160, 120))
     np.testing.assert_array_equal(img, ref)
+
+
+def test_info_panel_scroll_and_resize():
+    """Info-panel scroll shifts the column up (rendering.py:140) and
+    Simulation.resize sets the default viewport (nuclear_sim.py:419-428)."""
+    from pyqmd_tpu import Simulation
+    from pyqmd_tpu.render.panels import compose_panels
+
+    sim = Simulation(z=92, n=146, seed=0, pad_to=128)
+    r0, m0 = compose_panels(640, 480, sim.status(), None, info_scroll=0)
+    r2, m2 = compose_panels(640, 480, sim.status(), None, info_scroll=2)
+    # Scrolling by 2 lines moves line 2's content to line 0.
+    lh = 18
+    np.testing.assert_array_equal(m0[10 + 2 * lh : 10 + 2 * lh + 14, :300],
+                                  m2[10 : 10 + 14, :300])
+    sim.resize(320, 240)
+    img = sim.render()
+    assert img.shape == (240, 320, 3)
+    sim.info_scroll = 3
+    img2 = sim.render()
+    assert (img != img2).any()

@@ -259,6 +259,8 @@ def test_cli_interactive_all_commands(tmp_path, capsys, monkeypatch):
         "substeps 10",
         "chain",
         "scroll 2", "scroll -1", "scroll reset",
+        "iscroll 3", "iscroll reset",
+        "size 400 300",
         "show ascii",
         "show",
         f"render {png}",
