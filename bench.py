@@ -162,17 +162,18 @@ def bench_kernel_equivalence():
     return diffs[False], diffs[True]
 
 
-def bench_render(fps_frames=30):
+def bench_render(fps_frames=60):
     """Render throughput (fps) at 800x600.
 
-    Primary: per-frame fence. The axon tunnel sometimes acknowledges
-    fences at enqueue, so implausible results fall back to pipelined
-    dispatch with a full host readback of the LAST frame — a valid fence
-    for all frames because the TPU executes enqueued programs in FIFO
-    order. The per-frame-full-readback rate is also measured for
-    transparency: through the axon tunnel one 1.4 MB image readback is an
-    RPC-bound ~67 ms (≈1 ms on a directly-attached host), so that number
-    reflects the tunnel, not the renderer.
+    Same methodology as bench_ensemble: frames dispatch back-to-back and
+    the clock stops on a full host readback of the LAST image — a valid
+    fence for every frame because the TPU executes enqueued programs in
+    FIFO order, and immune to both of the axon tunnel's fence artifacts
+    (enqueue-time acks on some runs, a ~30 ms blocking RPC per fence on
+    others — neither is renderer time). The per-frame-full-readback rate
+    is also measured for transparency: one 1.4 MB image readback through
+    the tunnel is an RPC-bound ~67 ms (≈1 ms on a directly-attached
+    host), so that number reflects the tunnel, not the renderer.
 
     Returns (fps, per_frame_readback_fps).
     """
@@ -181,19 +182,13 @@ def bench_render(fps_frames=30):
     cfg = SimConfig.for_isotope(92, 146, pad_to=128)
     st = init_state(cfg, seed=0)
     img = render_frame(st, (400.0, 400.0), 10.0, 800, 600)
-    jax.block_until_ready(img)
+    np.asarray(img)  # compile + hard fence
     t0 = time.perf_counter()
     for _ in range(fps_frames):
         img = render_frame(st, (400.0, 400.0), 10.0, 800, 600)
-        jax.block_until_ready(img)
+    np.asarray(img)  # FIFO order: fences every frame above
     fps = fps_frames / (time.perf_counter() - t0)
-    if fps > 500:  # enqueue-ack artifact: pipelined + final readback.
-        t0 = time.perf_counter()
-        for _ in range(fps_frames):
-            img = render_frame(st, (400.0, 400.0), 10.0, 800, 600)
-        np.asarray(img)  # FIFO order: fences every frame above
-        fps = fps_frames / (time.perf_counter() - t0)
-    n_rb = max(5, fps_frames // 6)
+    n_rb = max(5, fps_frames // 12)
     t0 = time.perf_counter()
     for _ in range(n_rb):
         img = render_frame(st, (400.0, 400.0), 10.0, 800, 600)
