@@ -143,10 +143,14 @@ def apply_decay(
     synth = jnp.where(jnp.isinf(hl), 0.0, synth)
     duration = jnp.where((measured < 0.001) | (hl < 0.001), synth, measured)
 
+    # Chain-ring write as an elementwise masked update instead of a scatter:
+    # dynamic-index scatters break XLA fusion and were a measurable share of
+    # the ensemble substep (docs/PERFORMANCE.md r3 notes).
     slot = state.chain_cursor % cfg.max_chain_log
+    slot_mask = (jnp.arange(cfg.max_chain_log) == slot) & eff
 
     def masked_set(arr, value):
-        return arr.at[slot].set(jnp.where(eff, value, arr[slot]))
+        return jnp.where(slot_mask, value, arr)
 
     # --- nucleon adjustment (particles.py:149-203).
     alive_p, alive_n, prank, nrank = _first_rank_masks(state)
@@ -191,16 +195,22 @@ def apply_decay(
     frag_vel = speed[:, None] * jnp.stack([jnp.cos(angles), jnp.sin(angles)], -1)
     frag_life = ejecta_lifetime(frag_type, dyn, cfg)
 
+    # Ejecta-ring write, also scatter-free: ring slot s receives fragment k
+    # iff (s - cursor) mod E == k. k_e is a small static constant, so the
+    # update unrolls to k_e whole-(E,) masked selects — no gather, no
+    # scatter, pure elementwise VPU work.
     e_cap = cfg.max_ejecta
-    eslots = (state.ej_cursor + frag_idx) % e_cap
+    rel = (jnp.arange(e_cap) - state.ej_cursor) % e_cap
 
     def ej_set(arr, value):
-        cur = arr[eslots]
-        shaped = jnp.broadcast_to(value, cur.shape)
-        mask = frag_active
-        if cur.ndim > 1:
-            mask = mask[:, None]
-        return arr.at[eslots].set(jnp.where(mask, shaped, cur))
+        shaped = jnp.broadcast_to(value, (k_e,) + arr.shape[1:])
+        out = arr
+        for k in range(k_e):
+            mask = (rel == k) & frag_active[k]
+            if arr.ndim > 1:
+                mask = mask[:, None]
+            out = jnp.where(mask, shaped[k], out)
+        return out
 
     # --- daughter identity + half-life + metrics.
     z2 = jnp.where(eff, new_z, state.z).astype(jnp.int32)
@@ -223,7 +233,11 @@ def apply_decay(
         ej_life=ej_set(state.ej_life, frag_life),
         ej_alive=ej_set(state.ej_alive, jnp.ones((k_e,), bool)),
         ej_cursor=state.ej_cursor + jnp.sum(frag_active.astype(jnp.int32)),
-        decay_counts=state.decay_counts.at[dtype].add(effi),
+        decay_counts=jnp.where(
+            jnp.arange(state.decay_counts.shape[0]) == dtype,
+            state.decay_counts + effi,
+            state.decay_counts,
+        ),
         last_decay_time=jnp.where(eff, state.time_passed, state.last_decay_time),
         chain_z0=masked_set(state.chain_z0, state.z),
         chain_n0=masked_set(state.chain_n0, state.n),
