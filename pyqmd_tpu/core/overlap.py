@@ -11,6 +11,18 @@ masked (P, P) broadcast instead of a data-dependent sequential loop. One
 Jacobi iteration resolves typical frame-to-frame overlap as effectively as
 the reference's single sweep (both are approximate projections repeated
 every frame); ``cfg.overlap_iterations`` allows more.
+
+Two backends with the same math: this jnp oracle (any shape, any device)
+and the Pallas kernel (:mod:`pyqmd_tpu.kernels.overlap_pallas`, VMEM pair
+blocks, batch-tiled) selected via ``cfg.force_backend`` when the particle
+capacity is lane-aligned — the overlap pass was ~20% of a 10k-ensemble
+frame on the jnp path (docs/PERFORMANCE.md).
+
+Randomness: degenerate (coincident) pairs separate along the angle
+``u_i + u_j`` from a (P,)-sized uniform draw (+pi on the j<i side so the
+two sides push oppositely). A sum of uniforms mod 2pi is uniform, and the
+pair direction is computed from per-particle cos/sin via the angle-sum
+identity — no (P, P) randomness and no per-pair transcendentals.
 """
 
 from __future__ import annotations
@@ -21,7 +33,12 @@ import jax.numpy as jnp
 from pyqmd_tpu.config import SimConfig
 
 
-def _resolve_once(pos, alive, key, cfg: SimConfig):
+def _rand_u(key, p: int):
+    """Per-particle degenerate-separation angles for one Jacobi pass."""
+    return jax.random.uniform(key, (p,), maxval=2.0 * jnp.pi)
+
+
+def _resolve_once(pos, alive, u, cfg: SimConfig):
     p = pos.shape[0]
     md = cfg.overlap_min_dist
     d = pos[None, :, :] - pos[:, None, :]  # d[i, j] = pos_j - pos_i
@@ -30,19 +47,17 @@ def _resolve_once(pos, alive, key, cfg: SimConfig):
     pair = alive[:, None] & alive[None, :] & ~eye & (dist2 < md * md)
 
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
-    # Degenerate (coincident) pairs get a random separation direction
-    # (nuclear_sim.py:367-369); antisymmetrized so the two sides of each
-    # unordered pair push in opposite directions. The angle for pair (i, j)
-    # is u_i + u_j from a (P,)-sized draw (+pi on the j side) instead of a
-    # (P, P) random tensor: coincident pairs are vanishingly rare, and the
-    # per-pair threefry draw was ~40% of the whole overlap pass at a 10k
-    # ensemble (671M draws/frame). A sum of uniforms mod 2pi is uniform.
+    # Degenerate-pair directions: cos/sin(u_i + u_j) by the angle-sum
+    # identity from per-particle cos/sin, sign-flipped on the lower
+    # triangle (cos(s + pi) = -cos(s)) so the two sides of each unordered
+    # pair push in opposite directions (nuclear_sim.py:367-369).
     row = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
-    u = jax.random.uniform(key, (p,), maxval=2.0 * jnp.pi)
-    s = u[:, None] + u[None, :]
-    ang = jnp.where(row < col, s, s + jnp.pi)
-    rand_dir = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+    cu, su = jnp.cos(u), jnp.sin(u)
+    cs = cu[:, None] * cu[None, :] - su[:, None] * su[None, :]
+    ss = su[:, None] * cu[None, :] + cu[:, None] * su[None, :]
+    sign = jnp.where(row < col, 1.0, -1.0)
+    rand_dir = jnp.stack([sign * cs, sign * ss], axis=-1)
     degen = dist < 0.001
     direction = jnp.where(degen[..., None], rand_dir, d / dist[..., None])
 
@@ -61,8 +76,20 @@ def _resolve_once(pos, alive, key, cfg: SimConfig):
     return pos + jnp.where(alive[:, None], delta, 0.0)
 
 
+def _use_pallas(pos, cfg: SimConfig) -> bool:
+    return cfg.force_backend == "pallas" and pos.shape[-2] % 128 == 0
+
+
 def resolve_overlaps(pos, alive, key, cfg: SimConfig):
-    """Run ``cfg.overlap_iterations`` Jacobi projection passes."""
+    """Run ``cfg.overlap_iterations`` Jacobi projection passes on one
+    nucleus (``pos`` (P, 2)); backend follows ``cfg.force_backend``."""
+    p = pos.shape[-2]
     for i in range(cfg.overlap_iterations):
-        pos = _resolve_once(pos, alive, jax.random.fold_in(key, i), cfg)
+        u = _rand_u(jax.random.fold_in(key, i), p)
+        if _use_pallas(pos, cfg):
+            from pyqmd_tpu.kernels.overlap_pallas import overlap_step_pallas
+
+            pos = overlap_step_pallas(pos, alive, u, cfg)
+        else:
+            pos = _resolve_once(pos, alive, u, cfg)
     return pos

@@ -178,13 +178,29 @@ def state_metrics(state: NucleusState) -> dict:
 
 
 def _batched_overlap(pos, alive, keys, cfg: SimConfig, max_chunk: int = 1024):
-    """Overlap resolution over a batch, chunked with ``lax.map``.
+    """Overlap resolution over a batch.
 
-    A plain vmap materializes ~10 (B, P, P) temporaries — 17 GB each at a
-    64k ensemble — so batches beyond ``max_chunk`` are processed in
-    sequential chunks (the pass is ~1/20th of a frame's work; latency is
-    immaterial).
+    On the Pallas backend the kernel is called batch-native (pair blocks
+    live in VMEM, so no chunking is needed); the per-member key folding
+    and angle draws match the single-nucleus path exactly, keeping
+    ``ensemble_step`` bitwise-equal to ``vmap(simulate_frame)``.
+
+    On the jnp path a plain vmap materializes ~10 (B, P, P) temporaries —
+    17 GB each at a 64k ensemble — so batches beyond ``max_chunk`` are
+    processed in sequential ``lax.map`` chunks (the pass is a small share
+    of a frame's work; latency is immaterial).
     """
+    from pyqmd_tpu.core.overlap import _rand_u, _use_pallas
+
+    p = pos.shape[-2]
+    if _use_pallas(pos, cfg):
+        from pyqmd_tpu.kernels.overlap_pallas import overlap_step_pallas
+
+        for i in range(cfg.overlap_iterations):
+            u = jax.vmap(lambda k: _rand_u(jax.random.fold_in(k, i), p))(keys)
+            pos = overlap_step_pallas(pos, alive, u, cfg)
+        return pos
+
     f = jax.vmap(lambda p, a, k: resolve_overlaps(p, a, k, cfg))
     b = pos.shape[0]
     chunk = min(b, max_chunk)

@@ -87,3 +87,64 @@ def test_fast_math_bounded():
     pf, vf = force_step_pallas(pos, vel, ptype, alive, dt, cfg_fast, interpret=True)
     np.testing.assert_allclose(np.asarray(pf), np.asarray(pe), rtol=0, atol=5e-3)
     np.testing.assert_allclose(np.asarray(vf), np.asarray(ve), rtol=0, atol=5e-3)
+
+
+# --- overlap kernel (kernels/overlap_pallas.py vs core/overlap oracle) -------
+
+
+def _overlap_oracle(pos, alive, u, cfg):
+    from pyqmd_tpu.core.overlap import _resolve_once
+
+    return _resolve_once(pos, alive, u, cfg)
+
+
+@pytest.mark.parametrize("n_alive", [4, 100, 238, 256])
+def test_overlap_kernel_matches_jnp(n_alive):
+    from pyqmd_tpu.kernels.overlap_pallas import overlap_step_pallas
+
+    rng = np.random.default_rng(n_alive)
+    p = 256
+    # Tight cluster so plenty of pairs are inside overlap_min_dist.
+    pos = jnp.asarray(
+        rng.uniform(395, 405, (p, 2)).astype(np.float32)
+    )
+    alive = jnp.asarray(np.arange(p) < n_alive)
+    u = jnp.asarray(rng.uniform(0, 2 * np.pi, p).astype(np.float32))
+    ref = _overlap_oracle(pos, alive, u, CFG)
+    out = overlap_step_pallas(pos, alive, u, CFG, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_overlap_kernel_degenerate_pairs():
+    """Coincident particles separate along the same angle-sum direction as
+    the oracle (nuclear_sim.py:367-369 analog)."""
+    from pyqmd_tpu.kernels.overlap_pallas import overlap_step_pallas
+
+    p = 128
+    pos = jnp.broadcast_to(jnp.array([400.0, 400.0], jnp.float32), (p, 2))
+    alive = jnp.asarray(np.arange(p) < 3)  # three coincident nucleons
+    u = jnp.asarray(np.linspace(0.1, 6.0, p).astype(np.float32))
+    cfg = SimConfig.for_isotope(2, 2, pad_to=128, fast_math=False)
+    ref = _overlap_oracle(pos, alive, u, cfg)
+    out = overlap_step_pallas(pos, alive, u, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    # They actually separated.
+    d01 = float(jnp.linalg.norm(out[0] - out[1]))
+    assert d01 > 1.0
+
+
+def test_overlap_kernel_batched():
+    from pyqmd_tpu.kernels.overlap_pallas import overlap_step_pallas
+
+    rng = np.random.default_rng(7)
+    b, p = TILE_B + 2, 128
+    pos = jnp.asarray(rng.uniform(395, 405, (b, p, 2)).astype(np.float32))
+    alive = jnp.asarray(rng.uniform(size=(b, p)) < 0.8)
+    u = jnp.asarray(rng.uniform(0, 2 * np.pi, (b, p)).astype(np.float32))
+    cfg = SimConfig.for_isotope(26, 30, pad_to=128, fast_math=False)
+    out = overlap_step_pallas(pos, alive, u, cfg, interpret=True)
+    for i in range(b):
+        ref = _overlap_oracle(pos[i], alive[i], u[i], cfg)
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
