@@ -62,12 +62,11 @@ def placement_order(z: int, n: int) -> tuple[np.ndarray, np.ndarray]:
     return shell_idx, is_proton
 
 
-def _init_from_key(cfg: SimConfig, key: jax.Array) -> NucleusState:
+def _place_shells(cfg: SimConfig, place_key: jax.Array) -> jax.Array:
+    """Sequential best-of-20 shell placement; returns (P, 2) positions
+    (particles.py:62-124 behavior, vectorized candidate scoring)."""
     a = cfg.z + cfg.n
     p = cfg.max_particles
-    if a > p:
-        raise ValueError(f"A={a} exceeds max_particles={p}")
-
     shell_idx, is_proton = placement_order(cfg.z, cfg.n)
     # Shell radii (particles.py:64-68): A^(1/3) scaling, 7 evenly spaced shells.
     nuclear_radius = 1.2 * a ** (1.0 / 3.0)
@@ -82,8 +81,6 @@ def _init_from_key(cfg: SimConfig, key: jax.Array) -> NucleusState:
     )
     origin = jnp.array([cfg.origin_x, cfg.origin_y], jnp.float32)
     slot = jnp.arange(p)
-
-    key, place_key, hl_key, state_key = jax.random.split(key, 4)
 
     def place_one(i, carry):
         pos, k = carry
@@ -106,27 +103,20 @@ def _init_from_key(cfg: SimConfig, key: jax.Array) -> NucleusState:
 
     pos0 = jnp.broadcast_to(origin, (p, 2))
     pos, _ = jax.lax.fori_loop(0, a, place_one, (pos0, place_key))
+    return pos
 
-    st = empty_state(cfg)
-    hl = tables.half_life(
-        jnp.asarray(cfg.z), jnp.asarray(cfg.n), jax.random.uniform(hl_key)
-    )
-    # Seed the chain log with the initial-isotope entry (nuclear_sim.py:100-113).
-    return st.replace(
-        pos=pos,
-        ptype=ptype,
-        alive=slot < a,
-        z=jnp.asarray(cfg.z, jnp.int32),
-        n=jnp.asarray(cfg.n, jnp.int32),
-        half_life=hl,
-        rng=jax.random.key_data(state_key).astype(jnp.uint32),
-        chain_z0=st.chain_z0.at[0].set(cfg.z),
-        chain_n0=st.chain_n0.at[0].set(cfg.n),
-        chain_dtype=st.chain_dtype.at[0].set(DECAY_NONE),
-        chain_z1=st.chain_z1.at[0].set(cfg.z),
-        chain_n1=st.chain_n1.at[0].set(cfg.n),
-        chain_cursor=jnp.asarray(1, jnp.int32),
-    )
+
+def _init_from_key(cfg: SimConfig, key: jax.Array) -> NucleusState:
+    """Full exact init: member identity + sequential shell placement.
+    Key split indices match :func:`_member_identity` so the pool method's
+    identity draws are identical to the exact method's."""
+    if cfg.z + cfg.n > cfg.max_particles:
+        raise ValueError(
+            f"A={cfg.z + cfg.n} exceeds max_particles={cfg.max_particles}"
+        )
+    place_key = jax.random.split(key, 4)[1]
+    st = _member_identity(cfg, key)
+    return st.replace(pos=_place_shells(cfg, place_key))
 
 
 def init_state(cfg: SimConfig, seed: int = 0, key: jax.Array | None = None) -> NucleusState:
@@ -203,7 +193,7 @@ def _member_identity(cfg: SimConfig, key: jax.Array) -> NucleusState:
     the tail of :func:`_init_from_key` without the placement loop."""
     a = cfg.z + cfg.n
     p = cfg.max_particles
-    shell_idx, is_proton = placement_order(cfg.z, cfg.n)
+    _, is_proton = placement_order(cfg.z, cfg.n)
     ptype = jnp.asarray(
         np.pad(np.where(is_proton, PROTON, NEUTRON).astype(np.int32), (0, p - a))
     )

@@ -40,16 +40,24 @@ def cluster_detected() -> bool:
     Presence alone is not enough: single-worker TPU VMs export
     ``TPU_WORKER_HOSTNAMES=localhost`` and SLURM single-node jobs export
     ``SLURM_JOB_NUM_NODES=1`` — only multi-worker values count.
+
+    Detection is ENV-ONLY by design (querying the GCE metadata server or
+    any JAX API here would initialize a backend before
+    ``jax.distributed.initialize`` and break it). Cloud-TPU pod slices
+    whose launcher doesn't export these vars should pass explicit args to
+    :func:`initialize_multihost` (or call ``jax.distributed.initialize()``
+    first themselves, which self-detects via the TPU metadata server).
     """
     if any(os.environ.get(v) for v in _COORDINATOR_ENV_VARS):
         return True
     if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
         return True  # comma-separated list => multiple TPU workers
-    try:
-        if int(os.environ.get("SLURM_JOB_NUM_NODES", "1")) > 1:
-            return True
-    except ValueError:
-        pass
+    for var in ("SLURM_JOB_NUM_NODES", "MEGASCALE_NUM_SLICES"):
+        try:
+            if int(os.environ.get(var, "1")) > 1:
+                return True
+        except ValueError:
+            pass
     return False
 
 

@@ -212,6 +212,26 @@ def draw_info_panel(
     return y
 
 
+def chain_scroll_limit(height: int, n_steps: int, scale: int | None = None) -> int:
+    """Max useful decay-chain scroll for a frame of ``height`` px — the
+    reference's ``max_decay_scroll`` (rendering.py:283-292). Shares the
+    window math with :func:`draw_decay_chain` via ``_chain_window``."""
+    if scale is None:
+        scale = 2 if height >= 400 else 1
+    lh = 9 * scale
+    header_y = 5 * scale + lh + lh // 2  # title + half-line gap
+    _, max_scroll = _chain_window(height, header_y, lh, scale, n_steps)
+    return max_scroll
+
+
+def _chain_window(height: int, y: int, lh: int, scale: int, n_steps: int):
+    """(visible_items, max_scroll) for the entry area below header ``y``
+    (each entry takes ~2.5 lines, rendering.py:283-292)."""
+    area = height - y - 5 * scale
+    visible = max(1, int(area / (lh * 2.5)))
+    return visible, max(0, n_steps - visible)
+
+
 def draw_decay_chain(canvas: OverlayCanvas, chain: list[dict], scroll: int = 0):
     """Right-side decay-chain panel (rendering.py:248-380).
 
@@ -237,11 +257,7 @@ def draw_decay_chain(canvas: OverlayCanvas, chain: list[dict], scroll: int = 0):
             canvas.text_centered(cx, y, f"Current: {lab}", ZOOM_COLOR)
         return 0
 
-    # Scroll-window math (rendering.py:283-292): each entry takes ~2.5
-    # lines of the area below the header.
-    area = canvas.h - y - 5 * canvas.scale
-    visible = max(1, int(area / (lh * 2.5)))
-    max_scroll = max(0, len(steps) - visible)
+    visible, max_scroll = _chain_window(canvas.h, y, lh, canvas.scale, len(steps))
     scroll = max(0, min(scroll, max_scroll))
     end = min(len(steps), scroll + visible)
 

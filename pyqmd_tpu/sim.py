@@ -128,6 +128,7 @@ class Simulation:
         self._inflight: deque = deque(maxlen=4)
         self._substep_timer = StepTimer(window=30)
         self._fps_timer = StepTimer(window=30)
+        self._undrained_substeps = 0
         # NaN-guard readback cadence: a per-frame device->host sync costs
         # ~100 ms through the axon tunnel (docs/PERFORMANCE.md), so the
         # guard reads the flag of a *retired* frame every N frames.
@@ -158,6 +159,9 @@ class Simulation:
         self.camera_target = [self.cfg.origin_x, self.cfg.origin_y]
         self.last_metrics = None
         self._inflight.clear()
+        self._substep_timer.reset()
+        self._fps_timer.reset()
+        self._undrained_substeps = 0
         logger.info("nucleus: %s (seed %d)", self.isotope, self.seed)
 
     def set_isotope_key(self, key: int):
@@ -276,9 +280,13 @@ class Simulation:
         args = (self.time_scale, frame_dt, eff_dt, self.physics_dt)
         try:
             self.state, metrics = fn(self.state, *args)
-            self._pallas_proven = self._pallas_proven or (
-                self.cfg.force_backend == "pallas"
-            )
+            if self.cfg.force_backend == "pallas" and not self._pallas_proven:
+                # Dispatch is async: force the first pallas frame to actually
+                # EXECUTE (readback is the unfakeable fence) so a runtime
+                # kernel fault surfaces here, inside the try, while the
+                # snapshot still exists — not frames later in _retire.
+                np.asarray(metrics["nan"])
+                self._pallas_proven = True
         except Exception:
             if self.cfg.force_backend != "pallas":
                 raise
@@ -295,25 +303,39 @@ class Simulation:
         self._retire(metrics, num_steps)
         self._lerp_camera()
         self.last_metrics = metrics
+        if not self.batched:
+            # Adaptive log drain: the chain ring holds max_chain_log entries
+            # and a frame can append at most num_steps, so draining before
+            # the *potential* backlog could wrap guarantees zero lost log
+            # lines at zero extra syncs when substep counts are low.
+            self._undrained_substeps += num_steps
+            if (
+                self._undrained_substeps + self.max_substeps
+                >= self.cfg.max_chain_log
+            ):
+                self._drain_chain_log()
         return metrics
 
     def _retire(self, metrics, num_steps: int):
         """Push this frame's metrics into the pipeline; fence on and check
         the frame that falls off the end."""
-        if not self._inflight:
-            self._substep_timer.start()
-            self._fps_timer.start()
         self._inflight.append((metrics, num_steps))
         if len(self._inflight) == self._inflight.maxlen:
             old_metrics, old_steps = self._inflight.popleft()
-            self._substep_timer.lap(old_metrics, steps=old_steps)
-            self._fps_timer.lap(None)  # already fenced above
+            jax.block_until_ready(old_metrics)
+            if self._substep_timer.primed:
+                self._substep_timer.lap(None, steps=old_steps)
+                self._fps_timer.lap(None)
+            else:
+                # Prime on the first retire: the span from dispatch #1 to
+                # retire #1 covers the whole pipeline fill and would bias
+                # the rolling rate ~3x low if credited to one frame.
+                self._substep_timer.start()
+                self._fps_timer.start()
         if self.nan_check_interval and (
             self.frame_count % self.nan_check_interval == 0
         ):
             self._check_nan(self._inflight[0][0])  # oldest in flight
-            if not self.batched:
-                self._drain_chain_log()
 
     def _check_nan(self, metrics):
         if bool(np.any(np.asarray(metrics["nan"]))):
@@ -378,17 +400,32 @@ class Simulation:
 
     def _drain_chain_log(self):
         """Emit reference-style decay log lines (nuclear_sim.py:285) for new
-        chain entries."""
+        chain entries. Reads each chain array back in ONE bulk transfer —
+        per-element scalar reads would be one tunnel RPC each."""
+        self._undrained_substeps = 0
         cursor = int(self.state.chain_cursor)
         cap = self.cfg.max_chain_log
-        start = max(self._chain_seen, cursor - cap)
-        for c in range(start, cursor):
+        if cursor == self._chain_seen:
+            return
+        if cursor - self._chain_seen > cap:
+            logger.warning(
+                "decay log: %d entries lost (chain ring of %d wrapped "
+                "between drains; raise SimConfig.max_chain_log to keep more)",
+                cursor - self._chain_seen - cap, cap,
+            )
+        z0 = np.asarray(self.state.chain_z0)
+        n0 = np.asarray(self.state.chain_n0)
+        z1 = np.asarray(self.state.chain_z1)
+        n1 = np.asarray(self.state.chain_n1)
+        dt_ = np.asarray(self.state.chain_dtype)
+        tm = np.asarray(self.state.chain_time)
+        for c in range(max(self._chain_seen, cursor - cap), cursor):
             i = c % cap
             line = (
-                f"DECAY: {isotope_label(int(self.state.chain_z0[i]), int(self.state.chain_n0[i]))}"
-                f" → {isotope_label(int(self.state.chain_z1[i]), int(self.state.chain_n1[i]))}"
-                f" ({DECAY_SYMBOLS[int(self.state.chain_dtype[i])]})"
-                f" after {format_time_value_with_unit(float(self.state.chain_time[i]))}"
+                f"DECAY: {isotope_label(int(z0[i]), int(n0[i]))}"
+                f" → {isotope_label(int(z1[i]), int(n1[i]))}"
+                f" ({DECAY_SYMBOLS[int(dt_[i])]})"
+                f" after {format_time_value_with_unit(float(tm[i]))}"
             )
             self._decay_log.append(line)
             logger.info(line)
@@ -402,20 +439,28 @@ class Simulation:
 
     def chain_entries(self):
         """Decoded chain-log entries, oldest first (the decay-chain panel's
-        data source, rendering.py:248-380)."""
+        data source, rendering.py:248-380). Bulk device readback: this runs
+        once per rendered frame, and per-element scalar reads would cost
+        one tunnel RPC each (~384/frame)."""
         st = self.state
         cursor = int(st.chain_cursor)
         cap = self.cfg.max_chain_log
+        z0 = np.asarray(st.chain_z0)
+        n0 = np.asarray(st.chain_n0)
+        z1 = np.asarray(st.chain_z1)
+        n1 = np.asarray(st.chain_n1)
+        dt_ = np.asarray(st.chain_dtype)
+        tm = np.asarray(st.chain_time)
         out = []
         for c in range(max(0, cursor - cap), cursor):
             i = c % cap
             out.append(
                 dict(
                     index=c,
-                    parent=(int(st.chain_z0[i]), int(st.chain_n0[i])),
-                    child=(int(st.chain_z1[i]), int(st.chain_n1[i])),
-                    symbol=DECAY_SYMBOLS[int(st.chain_dtype[i])],
-                    duration=float(st.chain_time[i]),
+                    parent=(int(z0[i]), int(n0[i])),
+                    child=(int(z1[i]), int(n1[i])),
+                    symbol=DECAY_SYMBOLS[int(dt_[i])],
+                    duration=float(tm[i]),
                 )
             )
         return out
@@ -491,6 +536,16 @@ class Simulation:
         img = render_to_host(state, tuple(self.camera), self.zoom, width, height)
         if panels:
             chain = None if self.batched else self.chain_entries()
+            if chain is not None:
+                # Clamp the STORED scroll to the content (the reference
+                # stores max_decay_scroll and clamps, rendering.py:289-292)
+                # so scrolling back responds immediately after overshooting.
+                from pyqmd_tpu.render.panels import chain_scroll_limit
+
+                self.chain_scroll = min(
+                    self.chain_scroll,
+                    chain_scroll_limit(height, max(0, len(chain) - 1)),
+                )
             rgb, mask = compose_panels(
                 width, height, self.status(), chain,
                 max_substeps=self.max_substeps,

@@ -32,6 +32,15 @@ class StepTimer:
     def start(self):
         self._last = time.perf_counter()
 
+    def reset(self):
+        self.times.clear()
+        self._last = None
+
+    @property
+    def primed(self) -> bool:
+        """True once start() (or a lap) has set a reference timestamp."""
+        return self._last is not None
+
     def lap(self, result=None, steps: int = 1) -> float:
         """Fence on ``result`` and record; returns the rolling steps/sec."""
         if result is not None:

@@ -296,3 +296,57 @@ def test_checkpoint_orbax_roundtrip(tmp_path):
     assert cfg2 == cfg
     np.testing.assert_array_equal(np.asarray(st.pos), np.asarray(st2.pos))
     np.testing.assert_array_equal(np.asarray(st.rng), np.asarray(st2.rng))
+
+
+def test_chain_drain_cadence_prevents_ring_loss():
+    """The driver drains the decay log before the potential backlog could
+    wrap the chain ring (at most num_steps entries per frame), so no log
+    line is ever silently lost (code-review r3 finding)."""
+    sim = Simulation(z=2, n=2, pad_to=8)  # stable: tests the *potential* bound
+    cap = sim.cfg.max_chain_log
+    drains = []
+    orig = sim._drain_chain_log
+
+    def spy():
+        drains.append(sim.frame_count)
+        orig()
+
+    sim._drain_chain_log = spy
+    sim.set_preset("billion")  # 20 substeps per frame
+    for _ in range(12):
+        sim.frame()
+    assert drains, "drain never ran"
+    # Potential entries between drains stay under the ring capacity.
+    worst_gap_frames = (cap - sim.max_substeps) // sim.max_substeps + 1
+    gaps = [b - a for a, b in zip(drains, drains[1:])]
+    assert all(g <= worst_gap_frames for g in gaps), (gaps, worst_gap_frames)
+
+
+def test_chain_scroll_clamps_on_render():
+    """Overshooting 'scroll' clamps the STORED value on render so scrolling
+    back responds immediately (rendering.py:289-292 analog)."""
+    sim = Simulation(z=92, n=146, seed=0, pad_to=128)
+    for _ in range(3):
+        sim.force_decay()
+    sim.chain_scroll = 10**6
+    sim.render(400, 300)
+    assert sim.chain_scroll <= 3
+
+
+def test_pool_and_exact_member_identity_consistent():
+    """Pool-init members draw identity (half-life, rng, chain seed) from
+    the same key schedule as exact init (shared _member_identity)."""
+    import jax
+
+    from pyqmd_tpu.config import SimConfig
+    from pyqmd_tpu.core.init import _init_from_key, _member_identity
+
+    cfg = SimConfig.for_isotope(6, 8, pad_to=8)
+    key = jax.numpy.asarray(np.asarray([7, 9], np.uint32))
+    key = jax.random.wrap_key_data(key)
+    a = _init_from_key(cfg, key)
+    b = _member_identity(cfg, key)
+    np.testing.assert_array_equal(np.asarray(a.rng), np.asarray(b.rng))
+    assert float(a.half_life) == float(b.half_life)
+    np.testing.assert_array_equal(np.asarray(a.ptype), np.asarray(b.ptype))
+    assert int(a.chain_cursor) == int(b.chain_cursor) == 1
