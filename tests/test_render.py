@@ -355,3 +355,32 @@ def test_info_panel_scroll_and_resize():
     sim.info_scroll = 3
     img2 = sim.render()
     assert (img != img2).any()
+
+
+def test_windowed_matches_full_at_frame_edges():
+    """Particles at and beyond the frame edges exercise the window-origin
+    clamping; output must still equal the full-frame path exactly."""
+    from pyqmd_tpu.render.framebuffer import _render_full, render_frame
+
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)
+    st = empty_state(cfg)
+    # Centered camera at (400, 400), zoom 8, frame 160x120: place particles
+    # at the corners, just outside, and straddling each edge.
+    spots = [
+        (400.0, 400.0),   # center
+        (390.2, 392.6),   # top-left corner region
+        (410.0, 407.5),   # bottom-right corner region
+        (388.0, 400.0),   # beyond the left edge (disc partially visible)
+        (400.0, 409.0),   # beyond the bottom edge
+        (370.0, 400.0),   # fully offscreen
+    ]
+    for k, (x, y) in enumerate(spots):
+        st = st.replace(
+            pos=st.pos.at[k].set(jax.numpy.array([x, y])),
+            ptype=st.ptype.at[k].set(PROTON if k % 2 else NEUTRON),
+            alive=st.alive.at[k].set(True),
+        )
+    a = np.asarray(render_frame(st, (400.0, 400.0), 8.0, 160, 120, ruler=False))
+    b = np.asarray(_render_full(st, (400.0, 400.0), 8.0, 160, 120, ruler=False))
+    np.testing.assert_array_equal(a, b)
+    assert (a.sum(-1) > 0).sum() > 100  # scene actually drawn
