@@ -88,8 +88,13 @@ class Simulation:
                 else "jnp"
             )
         self.force_backend = force_backend
+        # Interactive single-nucleus sims get a deeper chain ring so the
+        # zero-loss log drain (see frame()) syncs every ~11 frames instead
+        # of every ~2 at max substeps; ensembles keep the small ring (it is
+        # per-member memory: 64k x 256 slots x 6 arrays would be 400 MB).
         self.cfg = cfg or SimConfig.for_isotope(
-            z, n, pad_to=pad_to, force_backend=force_backend
+            z, n, pad_to=pad_to, force_backend=force_backend,
+            max_chain_log=64 if ensemble else 256,
         )
         self.time_scale = 1.0
         self.frame_count = 0
@@ -147,7 +152,8 @@ class Simulation:
             z = z if z is not None else self.cfg.z
             n = n if n is not None else self.cfg.n
             self.cfg = SimConfig.for_isotope(
-                z, n, pad_to=self.pad_to, force_backend=self.force_backend
+                z, n, pad_to=self.pad_to, force_backend=self.force_backend,
+                max_chain_log=self.cfg.max_chain_log,
             )
         if seed is not None:
             self.seed = seed
