@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--backend", choices=("auto", "jnp", "pallas"), default="auto",
         help="force kernel backend (auto = pallas on TPU, jnp elsewhere)",
     )
+    p.add_argument(
+        "--set", dest="overrides", action="append", default=[],
+        metavar="FIELD=VALUE",
+        help="override any SimConfig field (repeatable): e.g. "
+        "--set strong_strength=120 --set fast_math=false --set "
+        "integrator=leapfrog — the 'what if the strong force were weaker' "
+        "surface (every reference constant is a config field)",
+    )
     p.add_argument("--render", metavar="PATH", help="write final frame as PNG")
     p.add_argument(
         "--render-every", type=int, default=0, metavar="N",
@@ -91,6 +99,36 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-q", "--quiet", action="store_true")
     return p
+
+
+def parse_overrides(pairs: list[str]) -> dict:
+    """Parse repeated ``--set field=value`` flags into typed SimConfig
+    kwargs (type taken from the dataclass field)."""
+    import dataclasses
+
+    from pyqmd_tpu.config import SimConfig
+
+    types = {f.name: f.type for f in dataclasses.fields(SimConfig)}
+    out = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise ValueError(f"--set expects FIELD=VALUE, got {pair!r}")
+        name, value = pair.split("=", 1)
+        name = name.strip()
+        if name not in types:
+            raise ValueError(
+                f"unknown SimConfig field {name!r}; options: {sorted(types)}"
+            )
+        t = str(types[name])
+        if "bool" in t:
+            out[name] = value.strip().lower() in ("1", "true", "yes", "on")
+        elif "int" in t:
+            out[name] = int(value)
+        elif "float" in t:
+            out[name] = float(value)
+        else:
+            out[name] = value.strip()
+    return out
 
 
 def list_isotopes() -> None:
@@ -351,6 +389,7 @@ def main(argv: list[str] | None = None) -> int:
         sim = Simulation(
             z=z, n=n, seed=args.seed, ensemble=args.ensemble,
             force_backend=args.backend,
+            overrides=parse_overrides(args.overrides),
         )
     sim.set_time_scale(parse_time_scale(str(args.time_scale)))
 

@@ -75,8 +75,14 @@ class Simulation:
         ensemble: int | None = None,
         pad_to: int = 128,
         force_backend: str = "auto",
+        overrides: dict | None = None,
     ):
+        """``overrides`` are extra SimConfig field values applied on top of
+        the built config (and re-applied on isotope switches) — the
+        configurable-physics surface (every reference constant is a
+        SimConfig field)."""
         self.seed = seed
+        self._overrides = dict(overrides or {})
         self.ensemble = ensemble
         self.pad_to = pad_to
         if force_backend == "auto":
@@ -96,6 +102,8 @@ class Simulation:
             z, n, pad_to=pad_to, force_backend=force_backend,
             max_chain_log=64 if ensemble else 256,
         )
+        if self._overrides:
+            self.cfg = dataclasses.replace(self.cfg, **self._overrides)
         self.time_scale = 1.0
         self.frame_count = 0
         self.substeps_used = 0
@@ -155,6 +163,8 @@ class Simulation:
                 z, n, pad_to=self.pad_to, force_backend=self.force_backend,
                 max_chain_log=self.cfg.max_chain_log,
             )
+            if self._overrides:
+                self.cfg = dataclasses.replace(self.cfg, **self._overrides)
         if seed is not None:
             self.seed = seed
         if self.ensemble:
@@ -648,6 +658,7 @@ class Simulation:
         sim = cls.__new__(cls)
         sim.cfg = cfg
         sim.seed = 0
+        sim._overrides = {}
         sim.pad_to = cfg.max_particles
         sim.force_backend = cfg.force_backend
         sim.state = state

@@ -350,3 +350,39 @@ def test_pool_and_exact_member_identity_consistent():
     assert float(a.half_life) == float(b.half_life)
     np.testing.assert_array_equal(np.asarray(a.ptype), np.asarray(b.ptype))
     assert int(a.chain_cursor) == int(b.chain_cursor) == 1
+
+
+def test_cli_config_overrides(capsys):
+    """--set FIELD=VALUE: the configurable-physics surface (ROADMAP)."""
+    from pyqmd_tpu.cli import parse_overrides
+
+    ov = parse_overrides([
+        "strong_strength=120", "fast_math=false", "integrator=leapfrog",
+        "max_substeps=10",
+    ])
+    assert ov == {
+        "strong_strength": 120.0, "fast_math": False,
+        "integrator": "leapfrog", "max_substeps": 10,
+    }
+    with pytest.raises(ValueError):
+        parse_overrides(["bogus_field=1"])
+    with pytest.raises(ValueError):
+        parse_overrides(["no_equals"])
+
+    rc = cli_main([
+        "--isotope", "He-4", "--frames", "2", "-q", "--status-json",
+        "--set", "strong_strength=100", "--set", "damping=0.9",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["alive"] == 4
+
+
+def test_overrides_survive_isotope_switch():
+    sim = Simulation(z=2, n=2, pad_to=8, overrides={"strong_strength": 99.0})
+    assert sim.cfg.strong_strength == 99.0
+    sim.reset(6, 8)
+    assert sim.cfg.strong_strength == 99.0  # re-applied on switch
+    assert sim.cfg.z == 6
+    sim.frame()  # physics runs with the overridden constant
+    assert np.isfinite(np.asarray(sim.state.pos)).all()
