@@ -237,6 +237,7 @@ def ensemble_step(
     num_steps: int,
     physics_dt=None,
     raw_physics_dt=None,
+    force_step_fn=None,
 ) -> tuple[NucleusState, dict]:
     """Batched frame over a leading ensemble axis (SURVEY §2 P1).
 
@@ -275,7 +276,7 @@ def ensemble_step(
     step_keys = jax.vmap(lambda k: jax.random.split(k, num_steps))(k3[:, 0])
     step_keys = jnp.swapaxes(step_keys, 0, 1)  # (S, B) keys
 
-    fstep = select_force_step(cfg)
+    fstep = force_step_fn or select_force_step(cfg)
 
     def body(st, keys):
         st = jax.vmap(lambda s: advance_ejecta(s, cfg, dyn))(st)

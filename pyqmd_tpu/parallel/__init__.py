@@ -7,6 +7,7 @@ helpers, P5 particle-axis ring sharding.
 """
 
 from pyqmd_tpu.parallel.ensemble import make_sharded_frame_fn, survival_fraction
+from pyqmd_tpu.parallel.hybrid import make_hybrid_frame_fn
 from pyqmd_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -25,6 +26,7 @@ __all__ = [
     "make_mesh",
     "initialize_multihost",
     "local_batch_slice",
+    "make_hybrid_frame_fn",
     "make_ring_force_step",
     "make_ring_frame_fn",
     "make_sharded_frame_fn",

@@ -224,3 +224,39 @@ def test_sharded_checkpoint_roundtrip(eight_devices, tmp_path):
     cont_b, _ = fn(restored, 1.0, 1 / 60.0)
     np.testing.assert_array_equal(np.asarray(cont_a.pos), np.asarray(cont_b.pos))
     np.testing.assert_array_equal(np.asarray(cont_a.rng), np.asarray(cont_b.rng))
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_hybrid_frame_matches_dense_ensemble(eight_devices, shape):
+    """Hybrid dp x sp frame (batch over 'data', force ring over 'model')
+    equals the dense ensemble step: decay draws identical, positions to
+    collective reduction order."""
+    from pyqmd_tpu.parallel import make_hybrid_frame_fn
+
+    data, model = shape
+    cfg = SimConfig.for_isotope(92, 146, pad_to=8 * model)
+    batch = 2 * data
+    states = ensemble_init(cfg, batch, seed=0)
+    ref_states, ref_m = jax.jit(
+        lambda s: ensemble_step(s, cfg, 3.15576e16, 1 / 60.0, 2)
+    )(states)
+
+    mesh = make_mesh(shape, (DATA_AXIS, MODEL_AXIS))
+    fn = make_hybrid_frame_fn(cfg, 2, mesh)
+    out_states, m = fn(ensemble_init(cfg, batch, seed=0), 3.15576e16, 1 / 60.0)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_states.z), np.asarray(ref_states.z)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m["total_decay_counts"]), np.asarray(ref_m["total_decay_counts"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_states.pos), np.asarray(ref_states.pos),
+        rtol=1e-4, atol=1e-4,
+    )
+    assert int(m["total_alive"]) == int(ref_m["total_alive"])
+
+    with pytest.raises(ValueError):
+        # pad_to=5 -> capacity 5, indivisible by any model size >= 2
+        make_hybrid_frame_fn(SimConfig.for_isotope(2, 2, pad_to=5), 2, mesh)
