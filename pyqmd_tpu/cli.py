@@ -352,7 +352,12 @@ def interactive(sim: Simulation) -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    try:
+        overrides = parse_overrides(args.overrides)
+    except ValueError as e:
+        parser.error(str(e))  # clean usage error, not a traceback
     if args.platform:
         import jax
 
@@ -384,12 +389,26 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.load:
         sim = Simulation.load(args.load)
+        if overrides:
+            # Apply physics overrides on resume too — but the state arrays
+            # were shaped by the checkpoint's capacities, so those fields
+            # cannot change here.
+            import dataclasses as _dc
+
+            for f in ("max_particles", "max_ejecta", "max_chain_log"):
+                if f in overrides and overrides[f] != getattr(sim.cfg, f):
+                    parser.error(
+                        f"--set {f} cannot change on --load (checkpoint "
+                        f"state is shaped by it)"
+                    )
+            sim.cfg = _dc.replace(sim.cfg, **overrides)
+            sim._overrides = dict(overrides)
     else:
         z, n = parse_isotope(args.isotope)
         sim = Simulation(
             z=z, n=n, seed=args.seed, ensemble=args.ensemble,
             force_backend=args.backend,
-            overrides=parse_overrides(args.overrides),
+            overrides=overrides,
         )
     sim.set_time_scale(parse_time_scale(str(args.time_scale)))
 

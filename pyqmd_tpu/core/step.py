@@ -152,6 +152,19 @@ def simulate_frame(
     return state, state_metrics(state)
 
 
+# Per-nucleus metric keys produced by state_metrics — the single source of
+# truth the sharded frame builders derive their shard_map out_specs from
+# (a hand-copied key set there would break opaquely when a metric is added).
+METRIC_KEYS = (
+    "nan", "alive", "kinetic", "z", "n", "half_life", "decay_counts",
+    "time_passed", "com", "chain_cursor",
+)
+
+# Ensemble aggregates added by ensemble_step / the sharded frame builders
+# (replicated across shards, psum'd over the data axis).
+AGGREGATE_METRIC_KEYS = ("total_decay_counts", "total_alive", "survivors")
+
+
 def state_metrics(state: NucleusState) -> dict:
     """Observable metrics of a state; works unbatched or batched.
 
@@ -159,6 +172,8 @@ def state_metrics(state: NucleusState) -> dict:
     reference silently skips a failed kernel launch
     (nuclear_forces.py:222-224); here numerical blowup is surfaced as a
     metric the driver checks.
+
+    Keys must stay in sync with METRIC_KEYS above.
     """
     return {
         "nan": ~jnp.all(

@@ -16,7 +16,11 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from pyqmd_tpu.config import SimConfig
-from pyqmd_tpu.core.step import ensemble_step
+from pyqmd_tpu.core.step import (
+    AGGREGATE_METRIC_KEYS,
+    METRIC_KEYS,
+    ensemble_step,
+)
 from pyqmd_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -48,28 +52,13 @@ def make_sharded_frame_fn(cfg: SimConfig, num_steps: int, mesh, axis: str = DATA
         return new_states, metrics
 
     state_spec = P(axis)
+    metric_specs = {k: state_spec for k in METRIC_KEYS}
+    metric_specs.update({k: P() for k in AGGREGATE_METRIC_KEYS})
     shard = jax.shard_map(
         local_frame,
         mesh=mesh,
         in_specs=(state_spec, P(), P()),
-        out_specs=(
-            state_spec,
-            {
-                "nan": state_spec,
-                "alive": state_spec,
-                "kinetic": state_spec,
-                "z": state_spec,
-                "n": state_spec,
-                "half_life": state_spec,
-                "decay_counts": state_spec,
-                "time_passed": state_spec,
-                "com": state_spec,
-                "chain_cursor": state_spec,
-                "total_decay_counts": P(),
-                "total_alive": P(),
-                "survivors": P(),
-            },
-        ),
+        out_specs=(state_spec, metric_specs),
         check_vma=False,
     )
 

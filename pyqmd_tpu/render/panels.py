@@ -212,12 +212,15 @@ def draw_info_panel(
     return y
 
 
-def chain_scroll_limit(height: int, n_steps: int, scale: int | None = None) -> int:
-    """Max useful decay-chain scroll for a frame of ``height`` px — the
+def chain_scroll_limit(
+    width: int, height: int, n_steps: int, scale: int | None = None
+) -> int:
+    """Max useful decay-chain scroll for a (width x height) frame — the
     reference's ``max_decay_scroll`` (rendering.py:283-292). Shares the
-    window math with :func:`draw_decay_chain` via ``_chain_window``."""
+    window math AND the scale rule with :func:`compose_panels` /
+    :func:`draw_decay_chain`."""
     if scale is None:
-        scale = 2 if height >= 400 else 1
+        scale = 2 if min(width, height) >= 400 else 1
     lh = 9 * scale
     header_y = 5 * scale + lh + lh // 2  # title + half-line gap
     _, max_scroll = _chain_window(height, header_y, lh, scale, n_steps)

@@ -142,6 +142,7 @@ class Simulation:
         self._substep_timer = StepTimer(window=30)
         self._fps_timer = StepTimer(window=30)
         self._undrained_substeps = 0
+        self._chain_cache: tuple[int, list] | None = None
         # NaN-guard readback cadence: a per-frame device->host sync costs
         # ~100 ms through the axon tunnel (docs/PERFORMANCE.md), so the
         # guard reads the flag of a *retired* frame every N frames.
@@ -178,6 +179,7 @@ class Simulation:
         self._substep_timer.reset()
         self._fps_timer.reset()
         self._undrained_substeps = 0
+        self._chain_cache = None  # fresh ring may reuse old cursor values
         logger.info("nucleus: %s (seed %d)", self.isotope, self.seed)
 
     def set_isotope_key(self, key: int):
@@ -286,6 +288,15 @@ class Simulation:
         """
         num_steps, eff_dt = self._schedule(frame_dt)
         self.substeps_used = num_steps
+        if not self.batched and (
+            self._undrained_substeps + num_steps >= self.cfg.max_chain_log
+        ):
+            # Zero-loss log drain, checked BEFORE dispatch against THIS
+            # frame's actual substep count (auto-adjust frames can run up
+            # to 200 substeps, far past max_substeps): the pre-frame state
+            # holds every entry so far, so draining now guarantees the
+            # ring cannot wrap past unseen entries.
+            self._drain_chain_log()
         fn = make_frame_fn(self.cfg, num_steps, batched=self.batched)
         # Device copy of the state until Pallas has proven itself: the frame
         # fn donates its input, so a post-dispatch failure would otherwise
@@ -320,16 +331,7 @@ class Simulation:
         self._lerp_camera()
         self.last_metrics = metrics
         if not self.batched:
-            # Adaptive log drain: the chain ring holds max_chain_log entries
-            # and a frame can append at most num_steps, so draining before
-            # the *potential* backlog could wrap guarantees zero lost log
-            # lines at zero extra syncs when substep counts are low.
             self._undrained_substeps += num_steps
-            if (
-                self._undrained_substeps + self.max_substeps
-                >= self.cfg.max_chain_log
-            ):
-                self._drain_chain_log()
         return metrics
 
     def _retire(self, metrics, num_steps: int):
@@ -416,32 +418,31 @@ class Simulation:
 
     def _drain_chain_log(self):
         """Emit reference-style decay log lines (nuclear_sim.py:285) for new
-        chain entries. Reads each chain array back in ONE bulk transfer —
-        per-element scalar reads would be one tunnel RPC each."""
+        chain entries. Formats from :meth:`chain_entries`, which bulk-reads
+        and caches the ring by cursor — so one render+drain cycle costs one
+        set of device transfers, not two."""
         self._undrained_substeps = 0
-        cursor = int(self.state.chain_cursor)
-        cap = self.cfg.max_chain_log
+        entries = self.chain_entries()
+        if not entries:
+            return
+        cursor = entries[-1]["index"] + 1
         if cursor == self._chain_seen:
             return
+        cap = self.cfg.max_chain_log
         if cursor - self._chain_seen > cap:
             logger.warning(
                 "decay log: %d entries lost (chain ring of %d wrapped "
                 "between drains; raise SimConfig.max_chain_log to keep more)",
                 cursor - self._chain_seen - cap, cap,
             )
-        z0 = np.asarray(self.state.chain_z0)
-        n0 = np.asarray(self.state.chain_n0)
-        z1 = np.asarray(self.state.chain_z1)
-        n1 = np.asarray(self.state.chain_n1)
-        dt_ = np.asarray(self.state.chain_dtype)
-        tm = np.asarray(self.state.chain_time)
-        for c in range(max(self._chain_seen, cursor - cap), cursor):
-            i = c % cap
+        for e in entries:
+            if e["index"] < self._chain_seen:
+                continue
             line = (
-                f"DECAY: {isotope_label(int(z0[i]), int(n0[i]))}"
-                f" → {isotope_label(int(z1[i]), int(n1[i]))}"
-                f" ({DECAY_SYMBOLS[int(dt_[i])]})"
-                f" after {format_time_value_with_unit(float(tm[i]))}"
+                f"DECAY: {isotope_label(*e['parent'])}"
+                f" → {isotope_label(*e['child'])}"
+                f" ({e['symbol']})"
+                f" after {format_time_value_with_unit(e['duration'])}"
             )
             self._decay_log.append(line)
             logger.info(line)
@@ -455,11 +456,15 @@ class Simulation:
 
     def chain_entries(self):
         """Decoded chain-log entries, oldest first (the decay-chain panel's
-        data source, rendering.py:248-380). Bulk device readback: this runs
-        once per rendered frame, and per-element scalar reads would cost
-        one tunnel RPC each (~384/frame)."""
+        data source, rendering.py:248-380). Bulk device readback, cached by
+        cursor: the ring is append-only, so an unchanged cursor means
+        unchanged content — a render+drain cycle re-reads one scalar, not
+        six arrays (per-element scalar reads would cost one tunnel RPC
+        each, ~384/frame)."""
         st = self.state
         cursor = int(st.chain_cursor)
+        if self._chain_cache is not None and self._chain_cache[0] == cursor:
+            return self._chain_cache[1]
         cap = self.cfg.max_chain_log
         z0 = np.asarray(st.chain_z0)
         n0 = np.asarray(st.chain_n0)
@@ -479,6 +484,7 @@ class Simulation:
                     duration=float(tm[i]),
                 )
             )
+        self._chain_cache = (cursor, out)
         return out
 
     def status(self) -> dict:
@@ -556,11 +562,15 @@ class Simulation:
                 # Clamp the STORED scroll to the content (the reference
                 # stores max_decay_scroll and clamps, rendering.py:289-292)
                 # so scrolling back responds immediately after overshooting.
+                # n_steps uses the same index>0 filter as draw_decay_chain
+                # (after the ring wraps, the index-0 initial record is gone
+                # and every returned entry counts).
                 from pyqmd_tpu.render.panels import chain_scroll_limit
 
+                n_steps = sum(1 for e in chain if e["index"] > 0)
                 self.chain_scroll = min(
                     self.chain_scroll,
-                    chain_scroll_limit(height, max(0, len(chain) - 1)),
+                    chain_scroll_limit(width, height, n_steps),
                 )
             rgb, mask = compose_panels(
                 width, height, self.status(), chain,

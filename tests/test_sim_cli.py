@@ -313,13 +313,23 @@ def test_chain_drain_cadence_prevents_ring_loss():
 
     sim._drain_chain_log = spy
     sim.set_preset("billion")  # 20 substeps per frame
-    for _ in range(12):
+    for _ in range(30):
         sim.frame()
     assert drains, "drain never ran"
-    # Potential entries between drains stay under the ring capacity.
-    worst_gap_frames = (cap - sim.max_substeps) // sim.max_substeps + 1
-    gaps = [b - a for a, b in zip(drains, drains[1:])]
+    # The pre-dispatch check guarantees undrained + this frame's substeps
+    # stays under the ring capacity at every dispatch.
+    worst_gap_frames = cap // sim.max_substeps + 1
+    gaps = [b - a for a, b in zip([0] + drains, drains)]
     assert all(g <= worst_gap_frames for g in gaps), (gaps, worst_gap_frames)
+    # Auto-adjust frames can run up to 200 substeps; the pre-dispatch check
+    # uses the ACTUAL count, so the guarantee holds there too.
+    sim.auto_adjust_substeps = True
+    drains.clear()
+    before = sim.frame_count
+    for _ in range(6):
+        sim.frame()
+    assert sim.substeps_used > sim.max_substeps  # auto mode exceeded 20
+    assert drains and drains[0] - before <= cap // sim.substeps_used + 1
 
 
 def test_chain_scroll_clamps_on_render():
@@ -386,3 +396,23 @@ def test_overrides_survive_isotope_switch():
     assert sim.cfg.z == 6
     sim.frame()  # physics runs with the overridden constant
     assert np.isfinite(np.asarray(sim.state.pos)).all()
+
+
+def test_cli_set_with_load_and_error_paths(tmp_path, capsys):
+    ck = tmp_path / "s.npz"
+    cli_main(["--isotope", "He-4", "--frames", "1", "--save", str(ck), "-q"])
+    capsys.readouterr()
+    # Overrides apply on resume.
+    rc = cli_main([
+        "--load", str(ck), "--frames", "1", "-q", "--status-json",
+        "--set", "strong_strength=120",
+    ])
+    assert rc == 0
+    # Shape-changing overrides on --load are rejected cleanly.
+    with pytest.raises(SystemExit):
+        cli_main(["--load", str(ck), "--set", "max_particles=512", "-q"])
+    # Malformed --set exits with a usage error, not a traceback.
+    with pytest.raises(SystemExit):
+        cli_main(["--set", "bogus_field=1", "-q"])
+    with pytest.raises(SystemExit):
+        cli_main(["--set", "no_equals", "-q"])
