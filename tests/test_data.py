@@ -172,3 +172,28 @@ def test_all_element_symbols_unique():
     for z in (1, 26, 92, 118):
         a = z + z  # arbitrary valid mass
         assert parse_isotope(f"{element_symbol(z)}-{a}") == (z, a - z)
+
+
+def test_branch_sampling_statistics():
+    """The rare branches at the U-238 series branch points sample at their
+    tabulated probabilities (Po-218 and Bi-214: 0.9998/0.0002 split,
+    decay_chains.py:135-139 / cumulative sampling at :221-229)."""
+    import jax
+
+    from pyqmd_tpu.data import tables
+    from pyqmd_tpu.state import DECAY_ALPHA, DECAY_BETA_PLUS
+
+    n_draws = 200_000
+    u = jax.random.uniform(jax.random.PRNGKey(0), (n_draws,))
+    z2, n2, dt = jax.vmap(lambda r: tables.sample_branch(84, 134, r))(u)
+    dt = np.asarray(dt)
+    # Main branch alpha; rare branch is tabled as (83, 133, BETA_PLUS) —
+    # the reference's own data (its comment says At-218 but the tuple is
+    # Bi-218 via beta+; reproduced for parity, decay_chains.py:135-136).
+    n_rare = int((dt == DECAY_BETA_PLUS).sum())
+    assert int((dt == DECAY_ALPHA).sum()) == n_draws - n_rare
+    # Expect 40 +- ~6.3 (Poisson); accept a generous 5-sigma band.
+    assert 8 <= n_rare <= 80, n_rare
+    rare_z = np.asarray(z2)[dt == DECAY_BETA_PLUS]
+    rare_n = np.asarray(n2)[dt == DECAY_BETA_PLUS]
+    assert (rare_z == 83).all() and (rare_n == 133).all()
