@@ -6,7 +6,11 @@ P1 ensemble data parallelism, P3 psum'd statistics, P4 mesh/collective
 helpers, P5 particle-axis ring sharding.
 """
 
-from pyqmd_tpu.parallel.ensemble import make_sharded_frame_fn, survival_fraction
+from pyqmd_tpu.parallel.ensemble import (
+    make_sharded_frame_fn,
+    make_sharded_run_fn,
+    survival_fraction,
+)
 from pyqmd_tpu.parallel.hybrid import make_hybrid_frame_fn
 from pyqmd_tpu.parallel.mesh import (
     DATA_AXIS,
@@ -30,6 +34,7 @@ __all__ = [
     "make_ring_force_step",
     "make_ring_frame_fn",
     "make_sharded_frame_fn",
+    "make_sharded_run_fn",
     "replicated",
     "shard_ensemble",
     "survival_fraction",

@@ -73,6 +73,60 @@ def make_sharded_frame_fn(cfg: SimConfig, num_steps: int, mesh, axis: str = DATA
     return frame
 
 
+def make_sharded_run_fn(
+    cfg: SimConfig, num_steps: int, num_frames: int, mesh, axis: str = DATA_AXIS
+):
+    """Fused sharded run: ``num_frames`` whole frames scanned inside ONE
+    sharded dispatch — the multi-chip analog of
+    :func:`pyqmd_tpu.core.step.make_run_fn` for throughput/statistics
+    workloads with a constant time scale. Returns the final state and the
+    last frame's metrics (aggregates psum'd over ``axis``)."""
+
+    def local_run(states, time_scale, frame_dt):
+        def body(st, _):
+            st, _m = ensemble_step(st, cfg, time_scale, frame_dt, num_steps)
+            return st, None
+
+        states, _ = jax.lax.scan(body, states, None, length=num_frames)
+        from pyqmd_tpu.core.step import state_metrics
+
+        metrics = state_metrics(states)
+        metrics["total_decay_counts"] = jax.lax.psum(
+            jnp.sum(metrics["decay_counts"], axis=0), axis
+        )
+        metrics["total_alive"] = jax.lax.psum(jnp.sum(metrics["alive"]), axis)
+        metrics["survivors"] = jax.lax.psum(
+            jnp.sum(
+                ((metrics["z"] == cfg.z) & (metrics["n"] == cfg.n)).astype(
+                    jnp.int32
+                )
+            ),
+            axis,
+        )
+        return states, metrics
+
+    state_spec = P(axis)
+    metric_specs = {k: state_spec for k in METRIC_KEYS}
+    metric_specs.update({k: P() for k in AGGREGATE_METRIC_KEYS})
+    shard = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(state_spec, P(), P()),
+        out_specs=(state_spec, metric_specs),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(states, time_scale, frame_dt):
+        return shard(
+            states,
+            jnp.asarray(time_scale, jnp.float32),
+            jnp.asarray(frame_dt, jnp.float32),
+        )
+
+    return run
+
+
 def survival_fraction(metrics, cfg: SimConfig, batch: int):
     """Fraction of the ensemble still in the initial isotope."""
     return metrics["survivors"] / batch

@@ -260,3 +260,29 @@ def test_hybrid_frame_matches_dense_ensemble(eight_devices, shape):
     with pytest.raises(ValueError):
         # pad_to=5 -> capacity 5, indivisible by any model size >= 2
         make_hybrid_frame_fn(SimConfig.for_isotope(2, 2, pad_to=5), 2, mesh)
+
+
+def test_sharded_run_matches_frame_loop(eight_devices):
+    """Fused sharded run == the per-frame sharded loop (same PRNG path)."""
+    from pyqmd_tpu.parallel import make_sharded_run_fn
+
+    cfg = SimConfig.for_isotope(6, 8, pad_to=8)
+    mesh = make_mesh()
+    batch = 16
+    a = shard_ensemble(ensemble_init(cfg, batch, seed=0), mesh)
+    frame = make_sharded_frame_fn(cfg, 2, mesh)
+    for _ in range(3):
+        a, ma = frame(a, 3.15576e16, 1 / 60.0)
+
+    b = shard_ensemble(ensemble_init(cfg, batch, seed=0), mesh)
+    run = make_sharded_run_fn(cfg, 2, 3, mesh)
+    b, mb = run(b, 3.15576e16, 1 / 60.0)
+
+    np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
+    np.testing.assert_allclose(
+        np.asarray(a.pos), np.asarray(b.pos), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ma["total_decay_counts"]), np.asarray(mb["total_decay_counts"])
+    )
+    assert int(ma["survivors"]) == int(mb["survivors"])
