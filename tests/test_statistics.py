@@ -1,0 +1,76 @@
+"""Statistical physics validation beyond single-stage decay.
+
+The C-14 tests pin one-stage exponential decay (BASELINE 1% bar); this
+module validates SEQUENTIAL decay — an ensemble walking a real chain
+segment matches the closed-form Bateman solution for the intermediate
+population. Forces are irrelevant to decay statistics, so the test drives
+``maybe_decay`` directly (cheap on the CPU harness).
+
+Chain segment: Pb-214 (T1/2 = 1608 s) -> Bi-214 (1194 s) -> Po-214
+(164 us, i.e. instantly gone at this resolution). Bateman:
+N2(t) = N0 * l1/(l2-l1) * (exp(-l1 t) - exp(-l2 t)).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyqmd_tpu.config import SimConfig
+from pyqmd_tpu.core.decay import maybe_decay
+from pyqmd_tpu.core.dynamics import FrameDynamics
+from pyqmd_tpu.core.init import ensemble_init
+
+
+def test_bateman_two_stage_chain():
+    batch = 4096
+    cfg = SimConfig.for_isotope(82, 132, pad_to=8)  # Pb-214
+    states = ensemble_init(cfg, batch, seed=0)
+
+    dt = 20.0  # sim-seconds per substep; dt > 0.01*T1/2 -> exact regime
+    steps = 400  # 8000 s ~ 5 half-lives of the parent
+    dyn = FrameDynamics(
+        jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1 / 240), jnp.float32(dt)
+    )
+
+    def body(carry, _):
+        st, key = carry
+        key, k = jax.random.split(key)
+        ks = jax.random.split(k, batch)
+        st = jax.vmap(lambda s, kk: maybe_decay(s, cfg, kk, dyn)[0])(st, ks)
+        n1 = jnp.sum((st.z == 82) & (st.n == 132))
+        n2 = jnp.sum((st.z == 83) & (st.n == 131))
+        return (st, key), (n1, n2)
+
+    (_, _), (n1s, n2s) = jax.lax.scan(
+        body, (states, jax.random.PRNGKey(7)), None, length=steps
+    )
+    n1s = np.asarray(n1s, np.float64)
+    n2s = np.asarray(n2s, np.float64)
+    t = dt * (np.arange(steps) + 1)
+
+    # The engine uses the reference's truncated ln2 = 0.693 in the exact
+    # regime via 1 - 2**(-dt/T): the effective per-step survival is
+    # exactly 2**(-dt/T), i.e. lambda = ln(2)/T.
+    l1 = math.log(2) / 1608.0
+    l2 = math.log(2) / 1194.0
+    n1_expect = batch * np.exp(-l1 * t)
+    n2_expect = batch * l1 / (l2 - l1) * (np.exp(-l1 * t) - np.exp(-l2 * t))
+
+    # Parent: plain exponential within a few sigma everywhere it is large.
+    sel = n1_expect > 200
+    rel1 = np.abs(n1s[sel] - n1_expect[sel]) / n1_expect[sel]
+    assert rel1.max() < 0.10, rel1.max()
+
+    # Intermediate: Bateman curve. Peak ~ 1100 members at ~ t=2700 s;
+    # Poisson sigma ~ 3%, accept 10% where the curve is substantial.
+    sel = n2_expect > 300
+    rel2 = np.abs(n2s[sel] - n2_expect[sel]) / n2_expect[sel]
+    assert rel2.max() < 0.10, rel2.max()
+
+    # Shape: the intermediate population rises then falls (a real peak
+    # inside the window), unlike one-stage decay.
+    peak = int(np.argmax(n2s))
+    assert 0 < peak < steps - 1
+    assert n2s[peak] > n2s[0] and n2s[peak] > n2s[-1]
