@@ -27,7 +27,7 @@ from pyqmd_tpu.core.init import ensemble_init, init_state, mixed_ensemble_init
 from pyqmd_tpu.core.step import ensemble_step, make_frame_fn, simulate_frame
 from pyqmd_tpu.sim import Simulation
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "SimConfig",
