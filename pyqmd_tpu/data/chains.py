@@ -2,8 +2,12 @@
 
 Chain coverage mirrors the reference (/root/reference/decay_chains.py:126-167):
 the full 14-step U-238 series with the Po-218 and Bi-214 branch points
-(0.9998/0.0002 splits), partial U-235 and Th-232 series, medical and
-fission-product isotopes, and the light H-3 / C-14 chains.
+(0.9998/0.0002 splits), the U-235 and Th-232 series openings, medical and
+fission-product isotopes, and the light H-3 / C-14 chains — plus a
+beyond-reference completion of the U-235 (actinium) and Th-232 (thorium)
+natural series down to stable Pb-207 / Pb-208, so all three natural decay
+series run end to end on tabulated physics instead of falling back to the
+random estimator (docs/PARITY.md "Beyond-reference capabilities").
 
 The reference predicts modes for unlisted isotopes by *mutating the global
 dict as a cache* (decay_chains.py:169-201). Here ``predict_decay`` is a pure
@@ -44,14 +48,42 @@ DECAY_CHAINS: dict[tuple[int, int], list[tuple[int, int, int, float]]] = {
     (82, 128): [(83, 127, DECAY_BETA_MINUS, 1.0)],       # Pb-210 -> Bi-210
     (83, 127): [(84, 126, DECAY_BETA_MINUS, 1.0)],       # Bi-210 -> Po-210
     (84, 126): [(82, 124, DECAY_ALPHA, 1.0)],            # Po-210 -> Pb-206 (stable)
-    # U-235 series (partial)
+    # U-235 series — first three steps as tabulated by the reference
+    # (decay_chains.py:146-149) ...
     (92, 143): [(90, 141, DECAY_ALPHA, 1.0)],            # U-235 -> Th-231
     (90, 141): [(91, 140, DECAY_BETA_MINUS, 1.0)],       # Th-231 -> Pa-231
     (91, 140): [(89, 138, DECAY_ALPHA, 1.0)],            # Pa-231 -> Ac-227
-    # Th-232 series (partial)
+    # ... and the beyond-reference completion to stable Pb-207 (the
+    # reference's estimator+predictor takes over at Ac-227; these are the
+    # standard branches, incl. the Ac-227 and Bi-211 branch points).
+    (89, 138): [(90, 137, DECAY_BETA_MINUS, 0.9862),     # Ac-227 -> Th-227
+                (87, 136, DECAY_ALPHA, 0.0138)],         # Ac-227 -> Fr-223
+    (90, 137): [(88, 135, DECAY_ALPHA, 1.0)],            # Th-227 -> Ra-223
+    (87, 136): [(88, 135, DECAY_BETA_MINUS, 1.0)],       # Fr-223 -> Ra-223
+    (88, 135): [(86, 133, DECAY_ALPHA, 1.0)],            # Ra-223 -> Rn-219
+    (86, 133): [(84, 131, DECAY_ALPHA, 1.0)],            # Rn-219 -> Po-215
+    (84, 131): [(82, 129, DECAY_ALPHA, 1.0)],            # Po-215 -> Pb-211
+    (82, 129): [(83, 128, DECAY_BETA_MINUS, 1.0)],       # Pb-211 -> Bi-211
+    (83, 128): [(81, 126, DECAY_ALPHA, 0.99724),         # Bi-211 -> Tl-207
+                (84, 127, DECAY_BETA_MINUS, 0.00276)],   # Bi-211 -> Po-211
+    (81, 126): [(82, 125, DECAY_BETA_MINUS, 1.0)],       # Tl-207 -> Pb-207 (stable)
+    (84, 127): [(82, 125, DECAY_ALPHA, 1.0)],            # Po-211 -> Pb-207 (stable)
+    # Th-232 series — first three steps as tabulated by the reference
+    # (decay_chains.py:151-153) ...
     (90, 142): [(88, 140, DECAY_ALPHA, 1.0)],            # Th-232 -> Ra-228
     (88, 140): [(89, 139, DECAY_BETA_MINUS, 1.0)],       # Ra-228 -> Ac-228
     (89, 139): [(90, 138, DECAY_BETA_MINUS, 1.0)],       # Ac-228 -> Th-228
+    # ... and the beyond-reference completion to stable Pb-208 (incl. the
+    # famous Bi-212 64/36 branch point).
+    (90, 138): [(88, 136, DECAY_ALPHA, 1.0)],            # Th-228 -> Ra-224
+    (88, 136): [(86, 134, DECAY_ALPHA, 1.0)],            # Ra-224 -> Rn-220
+    (86, 134): [(84, 132, DECAY_ALPHA, 1.0)],            # Rn-220 -> Po-216
+    (84, 132): [(82, 130, DECAY_ALPHA, 1.0)],            # Po-216 -> Pb-212
+    (82, 130): [(83, 129, DECAY_BETA_MINUS, 1.0)],       # Pb-212 -> Bi-212
+    (83, 129): [(84, 128, DECAY_BETA_MINUS, 0.6406),     # Bi-212 -> Po-212
+                (81, 127, DECAY_ALPHA, 0.3594)],         # Bi-212 -> Tl-208
+    (84, 128): [(82, 126, DECAY_ALPHA, 1.0)],            # Po-212 -> Pb-208 (stable)
+    (81, 127): [(82, 126, DECAY_BETA_MINUS, 1.0)],       # Tl-208 -> Pb-208 (stable)
     # Medical isotopes
     (43, 56): [(43, 56, DECAY_GAMMA, 0.99),              # Tc-99m -> Tc-99
                (43, 56, DECAY_BETA_MINUS, 0.01)],        # Tc-99m -> Ru-99

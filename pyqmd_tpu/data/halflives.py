@@ -116,4 +116,33 @@ HALF_LIVES: dict[tuple[int, int], float] = {
     (53, 74): 8.02 * DAY,        # I-131
     (55, 82): 30.17 * YEAR,      # Cs-137
     (38, 52): 28.79 * YEAR,      # Sr-90
+    # --- Beyond-reference: U-235 (actinium) series completion. The
+    # reference tabulates only the first three steps and falls back to its
+    # random estimator afterwards (decay_chains.py:146-149); these are the
+    # standard values so the whole series is physical (docs/PARITY.md,
+    # "Beyond-reference capabilities").
+    (90, 141): 25.52 * HOUR,     # Th-231
+    (91, 140): 32760 * YEAR,     # Pa-231
+    (89, 138): 21.772 * YEAR,    # Ac-227
+    (90, 137): 18.68 * DAY,      # Th-227
+    (87, 136): 22.00 * MINUTE,   # Fr-223
+    (88, 135): 11.43 * DAY,      # Ra-223
+    (86, 133): 3.96,             # Rn-219
+    (84, 131): 1.781e-3,         # Po-215
+    (82, 129): 36.1 * MINUTE,    # Pb-211
+    (83, 128): 2.14 * MINUTE,    # Bi-211
+    (81, 126): 4.77 * MINUTE,    # Tl-207
+    (84, 127): 0.516,            # Po-211
+    # --- Beyond-reference: Th-232 (thorium) series completion (the
+    # reference stops at Ac-228, decay_chains.py:151-153).
+    (88, 140): 5.75 * YEAR,      # Ra-228
+    (89, 139): 6.15 * HOUR,      # Ac-228
+    (90, 138): 1.9116 * YEAR,    # Th-228
+    (88, 136): 3.6319 * DAY,     # Ra-224
+    (86, 134): 55.6,             # Rn-220
+    (84, 132): 0.145,            # Po-216
+    (82, 130): 10.64 * HOUR,     # Pb-212
+    (83, 129): 60.55 * MINUTE,   # Bi-212
+    (84, 128): 2.99e-7,          # Po-212
+    (81, 127): 3.053 * MINUTE,   # Tl-208
 }

@@ -197,3 +197,70 @@ def test_branch_sampling_statistics():
     rare_z = np.asarray(z2)[dt == DECAY_BETA_PLUS]
     rare_n = np.asarray(n2)[dt == DECAY_BETA_PLUS]
     assert (rare_z == 83).all() and (rare_n == 133).all()
+
+
+def _walk_main_chain(z, n, max_steps=25):
+    """Follow the highest-probability branch of tabulated chains until a
+    stable isotope (host-side walk over the source-of-truth dicts)."""
+    from pyqmd_tpu.data.chains import DECAY_CHAINS
+    from pyqmd_tpu.data.halflives import HALF_LIVES
+
+    path = [(z, n)]
+    for _ in range(max_steps):
+        if HALF_LIVES.get((z, n)) == float("inf"):
+            return path
+        branches = DECAY_CHAINS.get((z, n))
+        assert branches is not None, f"chain gap at {(z, n)} along {path}"
+        z, n, _, _ = max(branches, key=lambda b: b[3])
+        path.append((z, n))
+    raise AssertionError(f"no stable end within {max_steps} steps: {path}")
+
+
+def test_u235_series_complete_to_pb207():
+    """Beyond-reference: the actinium series runs fully tabulated from
+    U-235 to stable Pb-207 (the reference stops at Ac-227)."""
+    path = _walk_main_chain(92, 143)
+    assert path[-1] == (82, 125)  # Pb-207
+    assert (89, 138) in path and (84, 131) in path  # Ac-227, Po-215
+    assert len(path) == 12
+    # Every member has a tabulated (non-estimated) half-life.
+    from pyqmd_tpu.data.halflives import HALF_LIVES
+
+    assert all(p in HALF_LIVES for p in path)
+    # The rare Bi-211 branch also reaches Pb-207, via Po-211.
+    rare = _walk_main_chain(84, 127)
+    assert rare[-1] == (82, 125)
+
+
+def test_th232_series_complete_to_pb208():
+    """Beyond-reference: the thorium series runs fully tabulated from
+    Th-232 to stable Pb-208 (the reference stops at Ac-228)."""
+    path = _walk_main_chain(90, 142)
+    assert path[-1] == (82, 126)  # Pb-208
+    assert (83, 129) in path  # Bi-212 branch point
+    assert len(path) == 11
+    from pyqmd_tpu.data.halflives import HALF_LIVES
+
+    assert all(p in HALF_LIVES for p in path)
+    # The alpha branch (Bi-212 -> Tl-208) also ends at Pb-208.
+    rare = _walk_main_chain(81, 127)
+    assert rare[-1] == (82, 126)
+
+
+def test_natural_series_arithmetic_consistent():
+    """Every beyond-reference chain entry conserves nucleons with its
+    decay type (alpha: Z-2/N-2; beta-: Z+1/N-1) — the property the
+    DB-wide decay-walk test checks dynamically, here pinned statically."""
+    from pyqmd_tpu.data.chains import DECAY_CHAINS
+    from pyqmd_tpu.state import DECAY_ALPHA, DECAY_BETA_MINUS
+
+    # Reference-inherited quirky rows exempted in PARITY.md departure #8.
+    quirks = {(84, 134), (83, 131), (43, 56)}
+    for (z, n), branches in DECAY_CHAINS.items():
+        if (z, n) in quirks:
+            continue
+        for z2, n2, dtype, _p in branches:
+            if dtype == DECAY_ALPHA:
+                assert (z2, n2) == (z - 2, n - 2), (z, n, branches)
+            elif dtype == DECAY_BETA_MINUS:
+                assert (z2, n2) == (z + 1, n - 1), (z, n, branches)
