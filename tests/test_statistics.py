@@ -74,3 +74,24 @@ def test_bateman_two_stage_chain():
     peak = int(np.argmax(n2s))
     assert 0 < peak < steps - 1
     assert n2s[peak] > n2s[0] and n2s[peak] > n2s[-1]
+
+
+def test_th232_series_end_to_end_simulation():
+    """A Th-232 nucleus walks the completed thorium series to stable Pb-208
+    inside the full jit'd frame loop (beyond-reference data through the
+    whole stack: Bernoulli decay, branch tables, masked adjustment)."""
+    from pyqmd_tpu import SimConfig, init_state, make_frame_fn
+
+    cfg = SimConfig.for_isotope(90, 142, pad_to=8)
+    fn = make_frame_fn(cfg, cfg.num_substeps(1 / 60, 3.15576e16))
+    st = init_state(cfg, seed=4)  # seeded: decays early
+    for _ in range(60):
+        st, m = fn(st, 3.15576e16, 1 / 60)
+        if int(st.z) == 82 and int(st.n) == 126:
+            break
+    assert (int(st.z), int(st.n)) == (82, 126)  # Pb-208
+    counts = np.asarray(st.decay_counts)
+    # Main path: 6 alpha + 4 beta- (the Bi-212 beta branch); the alpha
+    # branch variant is 6a+4b too (orders differ), totals are fixed.
+    assert counts[1] == 6 and counts[2] == 4, counts
+    assert bool(jnp.all(jnp.isfinite(st.pos)))
