@@ -1,19 +1,20 @@
 """Sharded C-14 survival statistics on a device mesh.
 
-Demonstrates the multi-chip workflow end to end on ANY machine: with real
-TPUs the mesh spans the chips; here it runs identically on 8 virtual CPU
-devices. The same code scales to a pod by calling
+Demonstrates the multi-chip workflow end to end: on a machine with real
+TPUs the mesh spans them; ``--platform cpu`` runs the identical code on 8
+virtual CPU devices anywhere. The same code scales to a pod by calling
 ``initialize_multihost()`` first (the ``data`` axis then lays across DCN).
 
   * ``ensemble_init`` (pool placement) -> ``shard_ensemble`` over a 1-D
     ``data`` mesh,
-  * ``make_sharded_run_fn``: whole frame sequences in ONE sharded dispatch,
-    decay counters and survivor counts psum'd over ICI,
+  * ``make_sharded_run_fn``: 5 whole frames fused per sharded dispatch
+    (4 dispatches total), decay counters and survivor counts psum'd,
   * half-life recovered from the psum'd survivor count.
 
-Run: python examples/sharded_survival.py
+Run: python examples/sharded_survival.py [--platform cpu]
 """
 
+import argparse
 import math
 import os
 import sys
@@ -24,15 +25,20 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+parser = argparse.ArgumentParser(description=__doc__)
+parser.add_argument(
+    "--platform", choices=("cpu", "tpu"), default=None,
+    help="force the JAX platform BEFORE any op (cpu = the 8-virtual-device "
+    "demo mesh; default: whatever devices the machine has)",
+)
+args = parser.parse_args()
+
 import jax
 
-# With real TPUs the mesh spans them; pass --platform cpu to demo the
-# 8-virtual-device mesh anywhere (this image pins TPU via sitecustomize,
-# so the override must go through jax.config, not env vars).
-if "--platform" in sys.argv:
-    jax.config.update("jax_platforms", sys.argv[sys.argv.index("--platform") + 1])
-elif jax.default_backend() not in ("tpu",):
-    jax.config.update("jax_platforms", "cpu")
+if args.platform:
+    # Must happen before any jax op — a platform override after the
+    # backend initializes is silently ignored (CLAUDE.md environment rules).
+    jax.config.update("jax_platforms", args.platform)
 
 from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.core.init import ensemble_init
@@ -56,7 +62,8 @@ def main():
     states = shard_ensemble(ensemble_init(cfg, batch, seed=0), mesh)
     print(f"{batch} C-14 nuclei over {n_dev} devices ({jax.default_backend()})")
 
-    # 2 tabulated half-lives of sim time in 20 fused dispatches.
+    # 2 tabulated half-lives of sim time: 4 sharded dispatches, each fusing
+    # 5 frames x 10 substeps in one device program.
     frames_per_dispatch, dispatches, substeps = 5, 4, 10
     sim_seconds = 2.0 * HL
     frame_dt = 1.0

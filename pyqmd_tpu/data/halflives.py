@@ -1,9 +1,12 @@
 """Tabulated isotope half-lives.
 
-Physical-constant table with the same coverage as the reference database
-(/root/reference/decay_chains.py:13-123): ~70 isotopes from H-1 to Pu-244,
-including the full U-238 chain membership and common medical/industrial
-isotopes. Values are seconds; ``float('inf')`` marks stable isotopes.
+Physical-constant table covering the reference database
+(/root/reference/decay_chains.py:13-123: ~70 isotopes from H-1 to Pu-244,
+the full U-238 chain membership, common medical/industrial isotopes) PLUS
+a beyond-reference completion of the U-235 and Th-232 natural series (22
+isotopes down to stable Pb-207/Pb-208 — see the section comments below and
+docs/PARITY.md "Beyond-reference capabilities"). Values are seconds;
+``float('inf')`` marks stable isotopes.
 
 Unlike the reference (a Python dict consulted from host code on every
 decay, decay_chains.py:257-262), this table is only the *source of truth*:

@@ -5,6 +5,12 @@ The ensemble is a vmapped batch of independent nuclei; sharding it over the
 the O(N^2) work, and aggregate decay statistics are ``psum``'d over ICI so
 the host reads O(1) numbers regardless of ensemble size. The reference has
 no equivalent — one nucleus per process (nuclear_sim.py:48, 92-93).
+
+The shard_map scaffolding (out_specs built from ``METRIC_KEYS`` /
+``AGGREGATE_METRIC_KEYS``, psum'd aggregates) is shared by every sharded
+frame builder here and in :mod:`pyqmd_tpu.parallel.hybrid` via
+:func:`psum_aggregates` and :func:`make_sharded_caller` — one site to
+touch when a metric is added.
 """
 
 from __future__ import annotations
@@ -20,8 +26,55 @@ from pyqmd_tpu.core.step import (
     AGGREGATE_METRIC_KEYS,
     METRIC_KEYS,
     ensemble_step,
+    state_metrics,
 )
 from pyqmd_tpu.parallel.mesh import DATA_AXIS
+
+
+def psum_aggregates(metrics: dict, cfg: SimConfig, axis: str) -> dict:
+    """Attach the cross-shard aggregates to per-shard metrics: psum'd decay
+    counts and alive totals, plus ``survivors`` (nuclei still in their
+    initial isotope — the half-life statistics numerator)."""
+    if "total_decay_counts" not in metrics:  # raw state_metrics output
+        metrics["total_decay_counts"] = jnp.sum(metrics["decay_counts"], axis=0)
+        metrics["total_alive"] = jnp.sum(metrics["alive"])
+    metrics["total_decay_counts"] = jax.lax.psum(
+        metrics["total_decay_counts"], axis
+    )
+    metrics["total_alive"] = jax.lax.psum(metrics["total_alive"], axis)
+    metrics["survivors"] = jax.lax.psum(
+        jnp.sum(
+            ((metrics["z"] == cfg.z) & (metrics["n"] == cfg.n)).astype(jnp.int32)
+        ),
+        axis,
+    )
+    return metrics
+
+
+def make_sharded_caller(local_fn, mesh, axis: str):
+    """Wrap a ``local_fn(states, time_scale, frame_dt)`` in the standard
+    sharded-frame plumbing: batch sharded over ``axis``, metric out_specs
+    derived from the canonical key lists, scalars cast, input donated."""
+    state_spec = P(axis)
+    metric_specs = {k: state_spec for k in METRIC_KEYS}
+    metric_specs.update({k: P() for k in AGGREGATE_METRIC_KEYS})
+    shard = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(state_spec, P(), P()),
+        out_specs=(state_spec, metric_specs),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def call(states, time_scale, frame_dt):
+        return shard(
+            states,
+            jnp.asarray(time_scale, jnp.float32),
+            jnp.asarray(frame_dt, jnp.float32),
+        )
+
+    return call
 
 
 def make_sharded_frame_fn(cfg: SimConfig, num_steps: int, mesh, axis: str = DATA_AXIS):
@@ -34,43 +87,12 @@ def make_sharded_frame_fn(cfg: SimConfig, num_steps: int, mesh, axis: str = DATA
     """
 
     def local_frame(states, time_scale, frame_dt):
-        # Each device runs the batch-native ensemble step on its local
-        # shard; aggregate statistics are psum'd over the mesh axis.
         new_states, metrics = ensemble_step(
             states, cfg, time_scale, frame_dt, num_steps
         )
-        # Survivors: nuclei still in their initial isotope (used by the
-        # half-life statistics bench/tests).
-        local_surv = jnp.sum(
-            ((metrics["z"] == cfg.z) & (metrics["n"] == cfg.n)).astype(jnp.int32)
-        )
-        metrics["total_decay_counts"] = jax.lax.psum(
-            metrics["total_decay_counts"], axis
-        )
-        metrics["total_alive"] = jax.lax.psum(metrics["total_alive"], axis)
-        metrics["survivors"] = jax.lax.psum(local_surv, axis)
-        return new_states, metrics
+        return new_states, psum_aggregates(metrics, cfg, axis)
 
-    state_spec = P(axis)
-    metric_specs = {k: state_spec for k in METRIC_KEYS}
-    metric_specs.update({k: P() for k in AGGREGATE_METRIC_KEYS})
-    shard = jax.shard_map(
-        local_frame,
-        mesh=mesh,
-        in_specs=(state_spec, P(), P()),
-        out_specs=(state_spec, metric_specs),
-        check_vma=False,
-    )
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def frame(states, time_scale, frame_dt):
-        return shard(
-            states,
-            jnp.asarray(time_scale, jnp.float32),
-            jnp.asarray(frame_dt, jnp.float32),
-        )
-
-    return frame
+    return make_sharded_caller(local_frame, mesh, axis)
 
 
 def make_sharded_run_fn(
@@ -88,43 +110,9 @@ def make_sharded_run_fn(
             return st, None
 
         states, _ = jax.lax.scan(body, states, None, length=num_frames)
-        from pyqmd_tpu.core.step import state_metrics
+        return states, psum_aggregates(state_metrics(states), cfg, axis)
 
-        metrics = state_metrics(states)
-        metrics["total_decay_counts"] = jax.lax.psum(
-            jnp.sum(metrics["decay_counts"], axis=0), axis
-        )
-        metrics["total_alive"] = jax.lax.psum(jnp.sum(metrics["alive"]), axis)
-        metrics["survivors"] = jax.lax.psum(
-            jnp.sum(
-                ((metrics["z"] == cfg.z) & (metrics["n"] == cfg.n)).astype(
-                    jnp.int32
-                )
-            ),
-            axis,
-        )
-        return states, metrics
-
-    state_spec = P(axis)
-    metric_specs = {k: state_spec for k in METRIC_KEYS}
-    metric_specs.update({k: P() for k in AGGREGATE_METRIC_KEYS})
-    shard = jax.shard_map(
-        local_run,
-        mesh=mesh,
-        in_specs=(state_spec, P(), P()),
-        out_specs=(state_spec, metric_specs),
-        check_vma=False,
-    )
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def run(states, time_scale, frame_dt):
-        return shard(
-            states,
-            jnp.asarray(time_scale, jnp.float32),
-            jnp.asarray(frame_dt, jnp.float32),
-        )
-
-    return run
+    return make_sharded_caller(local_run, mesh, axis)
 
 
 def survival_fraction(metrics, cfg: SimConfig, batch: int):

@@ -23,11 +23,10 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
 
 from pyqmd_tpu.config import SimConfig
-from pyqmd_tpu.core.step import AGGREGATE_METRIC_KEYS, METRIC_KEYS, ensemble_step
+from pyqmd_tpu.core.step import ensemble_step
+from pyqmd_tpu.parallel.ensemble import make_sharded_caller, psum_aggregates
 from pyqmd_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from pyqmd_tpu.parallel.ring import _ring_force_local
 
@@ -78,33 +77,6 @@ def make_hybrid_frame_fn(
             states, cfg, time_scale, frame_dt, num_steps,
             force_step_fn=ring_force,
         )
-        local_surv = jnp.sum(
-            ((metrics["z"] == cfg.z) & (metrics["n"] == cfg.n)).astype(jnp.int32)
-        )
-        metrics["total_decay_counts"] = jax.lax.psum(
-            metrics["total_decay_counts"], data_axis
-        )
-        metrics["total_alive"] = jax.lax.psum(metrics["total_alive"], data_axis)
-        metrics["survivors"] = jax.lax.psum(local_surv, data_axis)
-        return new_states, metrics
+        return new_states, psum_aggregates(metrics, cfg, data_axis)
 
-    state_spec = P(data_axis)
-    metric_specs = {k: state_spec for k in METRIC_KEYS}
-    metric_specs.update({k: P() for k in AGGREGATE_METRIC_KEYS})
-    shard = jax.shard_map(
-        local_frame,
-        mesh=mesh,
-        in_specs=(state_spec, P(), P()),
-        out_specs=(state_spec, metric_specs),
-        check_vma=False,
-    )
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def frame(states, time_scale, frame_dt):
-        return shard(
-            states,
-            jnp.asarray(time_scale, jnp.float32),
-            jnp.asarray(frame_dt, jnp.float32),
-        )
-
-    return frame
+    return make_sharded_caller(local_frame, mesh, data_axis)
