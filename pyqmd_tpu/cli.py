@@ -3,7 +3,7 @@
 The headless capability surface of the reference's event/input system
 (/root/reference/nuclear_sim.py:381-521): isotope selection, time-scale
 control and presets, forced decay, zoom/camera, plus the TPU-era additions
-(ensembles, checkpoints, PNG/APNG export, backend selection).
+(ensembles, checkpoints, PNG/APNG/GIF export, backend selection).
 
 Two modes:
   * batch: ``pyqmd-tpu --isotope U-238 --frames 1000 --time-scale 1e9yr``
@@ -63,7 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
         "integrator=leapfrog — the 'what if the strong force were weaker' "
         "surface (every reference constant is a config field)",
     )
-    p.add_argument("--render", metavar="PATH", help="write final frame as PNG")
+    p.add_argument(
+        "--render", metavar="PATH",
+        help="write final frame as PNG (with --render-every: animated PNG, "
+        "or animated GIF if PATH ends in .gif)",
+    )
     p.add_argument(
         "--render-every", type=int, default=0, metavar="N",
         help="with --render: collect every Nth frame into an animated PNG",
@@ -434,10 +438,15 @@ def main(argv: list[str] | None = None) -> int:
 
     print_status(sim)
     if args.render:
-        from pyqmd_tpu.render import write_apng, write_png
+        from pyqmd_tpu.render import write_apng, write_gif, write_png
 
         if frames:
-            write_apng(args.render, frames)
+            # Container by extension: .gif -> animated GIF (universally
+            # viewable), anything else -> APNG.
+            if args.render.lower().endswith(".gif"):
+                write_gif(args.render, frames)
+            else:
+                write_apng(args.render, frames)
         elif sim.batched:
             write_png(args.render, sim.render_grid())  # ensemble montage
         else:

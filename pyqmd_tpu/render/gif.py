@@ -1,0 +1,186 @@
+"""Animated-GIF writer (stdlib only: struct + numpy bit packing).
+
+The reference has no movie export at all (PyGame displays live,
+/root/reference/rendering.py:58); the headless TPU build already exports
+PNG/APNG (`render/png.py`). GIF is the universally-viewable companion
+format: every browser, chat client and image viewer animates it without
+plugins, where APNG support is spottier.
+
+Encoder design (chosen for the TPU workflow, where frames arrive as
+uint8 numpy arrays read back from the device):
+
+- **Fixed-width LZW with periodic clear codes.** Real LZW needs a
+  per-pixel Python dict loop (~0.5 s per 800x600 frame); instead every
+  pixel is emitted as a literal code and a CLEAR resets the table before
+  the code width would grow. All codes stay ``min_code_size + 1`` bits,
+  so the whole code stream is a numpy `unpackbits`/`packbits` round trip
+  (GIF packs code bits LSB-first) — microseconds per frame, no Python
+  loop. Cost: ~(bits/8) bytes per emitted pixel instead of LZW's
+  typical 3-5x compression, which the next point claws back.
+- **Changed-rectangle frames.** GIF frames may cover a sub-rectangle of
+  the canvas with "keep previous" disposal; each frame after the first
+  encodes only the bounding box of pixels that differ from the previous
+  frame. Sim movies are mostly static background, so this is the real
+  compressor (typically 10-50x on decay-chain movies).
+- **Exact palette when possible.** The rasterizer paints flat particle
+  colors, panel text and fade ramps — usually well under 256 unique
+  RGBs, in which case encoding is lossless. Otherwise colors snap to a
+  6x7x6 cube (252 entries).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_CUBE = (6, 7, 6)  # fallback quantization levels per channel (252 colors)
+
+
+def _palette(frames: list[np.ndarray]) -> tuple[np.ndarray, bool]:
+    """Global palette for the movie: (palette (K,3) uint8, exact?)."""
+    packed = np.unique(
+        np.concatenate(
+            [
+                f.astype(np.uint32).reshape(-1, 3) @ np.array([1 << 16, 1 << 8, 1], np.uint32)
+                for f in frames
+            ]
+        )
+    )
+    if packed.size <= 256:
+        pal = np.stack(
+            [(packed >> 16) & 0xFF, (packed >> 8) & 0xFF, packed & 0xFF], axis=1
+        ).astype(np.uint8)
+        return pal, True
+    r, g, b = _CUBE
+    rr, gg, bb = np.meshgrid(
+        np.linspace(0, 255, r), np.linspace(0, 255, g), np.linspace(0, 255, b),
+        indexing="ij",
+    )
+    pal = np.stack([rr, gg, bb], axis=-1).reshape(-1, 3).round().astype(np.uint8)
+    return pal, False
+
+
+def _index_frame(img: np.ndarray, pal: np.ndarray, exact: bool) -> np.ndarray:
+    """Map an (H, W, 3) uint8 image to (H, W) palette indices."""
+    if exact:
+        weights = np.array([1 << 16, 1 << 8, 1], np.uint32)
+        packed_pal = pal.astype(np.uint32) @ weights
+        order = np.argsort(packed_pal)
+        packed = img.astype(np.uint32).reshape(-1, 3) @ weights
+        idx = order[np.searchsorted(packed_pal[order], packed)]
+        return idx.astype(np.uint8).reshape(img.shape[:2])
+    r, g, b = _CUBE
+    qr = np.clip((img[..., 0].astype(np.float32) / 255.0) * (r - 1) + 0.5, 0, r - 1)
+    qg = np.clip((img[..., 1].astype(np.float32) / 255.0) * (g - 1) + 0.5, 0, g - 1)
+    qb = np.clip((img[..., 2].astype(np.float32) / 255.0) * (b - 1) + 0.5, 0, b - 1)
+    return (
+        qr.astype(np.uint32) * (g * b) + qg.astype(np.uint32) * b + qb.astype(np.uint32)
+    ).astype(np.uint8)
+
+
+def _lzw_fixed(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Encode palette indices as a GIF LZW stream of fixed-width literal
+    codes with periodic CLEARs (see module docstring). Vectorized: the
+    only Python-level loop is over ≤255-byte sub-blocks."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = min_code_size + 1
+    flat = indices.reshape(-1).astype(np.uint16)
+    # After a CLEAR the table holds `eoi + 1` entries; each literal after
+    # the first adds one. Codes stay `bits` wide while the table size is
+    # < 2**bits, allowing 2**bits - (eoi + 1) literals per segment; stay
+    # one under for decoder-compatibility headroom.
+    seg = (1 << bits) - (eoi + 1) - 1
+    n = flat.size
+    nseg = -(-n // seg) if n else 1
+    # Code stream: CLEAR, then segments of literals separated by CLEARs,
+    # then EOI.  Build it as one padded (nseg, seg+1) matrix whose first
+    # column is CLEAR, then drop the pad tail.
+    padded = np.full((nseg, seg + 1), eoi, np.uint16)  # pad value overwritten below
+    padded[:, 0] = clear
+    pad = nseg * seg - n
+    body = np.concatenate([flat, np.zeros(pad, np.uint16)])
+    padded[:, 1:] = body.reshape(nseg, seg)
+    codes = padded.reshape(-1)
+    codes = np.concatenate([codes[: codes.size - pad], np.array([eoi], np.uint16)])
+    # Pack LSB-first: each code -> `bits` little-endian bits.
+    le_bits = np.unpackbits(
+        codes.astype("<u2").view(np.uint8).reshape(-1, 2), axis=1, bitorder="little"
+    )[:, :bits]
+    stream = np.packbits(le_bits.reshape(-1), bitorder="little").tobytes()
+    # Sub-block framing: length-prefixed chunks of ≤255 bytes, 0 terminator.
+    out = [bytes([min_code_size])]
+    for i in range(0, len(stream), 255):
+        blk = stream[i : i + 255]
+        out.append(bytes([len(blk)]) + blk)
+    out.append(b"\x00")
+    return b"".join(out)
+
+
+def _changed_box(prev: np.ndarray, cur: np.ndarray) -> tuple[int, int, int, int]:
+    """Bounding box (x, y, w, h) of pixels differing between two index
+    frames; (0, 0, 1, 1) if identical (GIF frames must be non-empty)."""
+    diff = prev != cur
+    rows = np.flatnonzero(diff.any(axis=1))
+    if rows.size == 0:
+        return 0, 0, 1, 1
+    cols = np.flatnonzero(diff.any(axis=0))
+    return (
+        int(cols[0]),
+        int(rows[0]),
+        int(cols[-1] - cols[0] + 1),
+        int(rows[-1] - rows[0] + 1),
+    )
+
+
+def gif_bytes(frames: list[np.ndarray], fps: float = 30.0, loop: int = 0) -> bytes:
+    """Encode (H, W, 3) uint8 frames as an animated GIF byte string.
+
+    ``loop=0`` means loop forever (Netscape extension); lossless when the
+    movie has ≤256 unique colors (the rasterizer's usual regime).
+    """
+    if not frames:
+        raise ValueError("no frames")
+    frames = [np.ascontiguousarray(f, np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError(f"expected ({h}, {w}, 3) frames, got {f.shape}")
+    pal, exact = _palette(frames)
+    npal = int(pal.shape[0])
+    # GIF color tables are power-of-two sized.
+    table_pow = max(1, int(np.ceil(np.log2(max(npal, 2)))))
+    table = np.zeros((1 << table_pow, 3), np.uint8)
+    table[:npal] = pal
+    min_code_size = max(2, table_pow)  # spec: min code size ≥ 2
+
+    delay_cs = max(1, int(round(100.0 / max(fps, 1e-6))))  # centiseconds
+    out = [
+        b"GIF89a",
+        struct.pack("<HHBBB", w, h, 0x80 | ((table_pow - 1) << 4) | (table_pow - 1), 0, 0),
+        table.tobytes(),
+        # Netscape looping extension.
+        b"\x21\xff\x0bNETSCAPE2.0" + struct.pack("<BBHB", 3, 1, loop & 0xFFFF, 0),
+    ]
+    prev_idx: np.ndarray | None = None
+    for img in frames:
+        idx = _index_frame(img, pal, exact)
+        if prev_idx is None:
+            x, y, bw, bh = 0, 0, w, h
+        else:
+            x, y, bw, bh = _changed_box(prev_idx, idx)
+        # Graphic control: disposal 1 (keep), delay, no transparency.
+        out.append(b"\x21\xf9" + struct.pack("<BBHBB", 4, 1 << 2, delay_cs, 0, 0))
+        out.append(b"\x2c" + struct.pack("<HHHHB", x, y, bw, bh, 0))
+        out.append(_lzw_fixed(idx[y : y + bh, x : x + bw], min_code_size))
+        prev_idx = idx
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def write_gif(
+    path: str, frames: list[np.ndarray], fps: float = 30.0, loop: int = 0
+) -> None:
+    with open(path, "wb") as f:
+        f.write(gif_bytes(frames, fps=fps, loop=loop))

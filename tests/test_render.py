@@ -384,3 +384,86 @@ def test_windowed_matches_full_at_frame_edges():
     b = np.asarray(_render_full(st, (400.0, 400.0), 8.0, 160, 120, ruler=False))
     np.testing.assert_array_equal(a, b)
     assert (a.sum(-1) > 0).sum() > 100  # scene actually drawn
+
+
+def test_gif_exact_roundtrip(tmp_path):
+    """Movies with ≤256 unique colors encode losslessly; verified against
+    an independent decoder (PIL) when available, structurally otherwise."""
+    from pyqmd_tpu.render import gif_bytes, write_gif
+
+    frames = []
+    base = np.zeros((24, 32, 3), np.uint8)
+    base[:, :, 2] = 30
+    for i in range(4):
+        f = base.copy()
+        f[4 + i : 12 + i, 3 + 2 * i : 11 + 2 * i] = (200, 40, 40)
+        frames.append(f)
+    data = gif_bytes(frames, fps=10)
+    assert data[:6] == b"GIF89a" and data[-1:] == b"\x3b"
+    w, h = struct.unpack("<HH", data[6:10])
+    assert (w, h) == (32, 24)
+    assert b"NETSCAPE2.0" in data  # looping extension
+    # One image descriptor (0x2C block) per frame.
+    assert data.count(b"\x21\xf9") == len(frames)  # graphic-control blocks
+    p = tmp_path / "anim.gif"
+    write_gif(str(p), frames, fps=10)
+    assert p.read_bytes() == data
+    PIL = pytest.importorskip("PIL.Image")
+    from PIL import ImageSequence
+
+    im = PIL.open(str(p))
+    decoded = [np.array(fr.convert("RGB")) for fr in ImageSequence.Iterator(im)]
+    assert len(decoded) == len(frames)
+    for a, b in zip(frames, decoded):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_gif_quantized_and_static_frames():
+    """>256 unique colors falls back to the 6x7x6 cube (bounded error);
+    identical consecutive frames still decode (1x1 changed-rect)."""
+    from pyqmd_tpu.render import gif_bytes
+
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from PIL import ImageSequence
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 256, (16, 20, 3), dtype=np.uint8) for _ in range(2)]
+    dec = [
+        np.array(fr.convert("RGB"))
+        for fr in ImageSequence.Iterator(PIL.open(io.BytesIO(gif_bytes(frames))))
+    ]
+    assert len(dec) == 2
+    err = max(
+        np.abs(a.astype(int) - b.astype(int)).max() for a, b in zip(frames, dec)
+    )
+    assert err <= 26  # half a quantization step on the coarsest channel
+
+    static = [frames[0], frames[0].copy(), frames[0].copy()]
+    dec = [
+        np.array(fr.convert("RGB"))
+        for fr in ImageSequence.Iterator(PIL.open(io.BytesIO(gif_bytes(static))))
+    ]
+    assert len(dec) == 3
+    np.testing.assert_array_equal(dec[2], dec[0])
+
+
+def test_gif_delta_frames_shrink_output():
+    """Changed-rect encoding: a movie with a small moving sprite is much
+    smaller than re-encoding the full canvas every frame."""
+    from pyqmd_tpu.render import gif_bytes
+
+    base = np.zeros((120, 160, 3), np.uint8)
+    moving = []
+    for i in range(8):
+        f = base.copy()
+        f[10 + i : 14 + i, 20 + i : 24 + i] = 255
+        moving.append(f)
+    n_moving = len(gif_bytes(moving))
+    # Same frame count but every pixel repainted each frame.
+    repaint = [
+        np.full((120, 160, 3), 10 * (i % 2), np.uint8) for i in range(8)
+    ]
+    n_repaint = len(gif_bytes(repaint))
+    assert n_moving < n_repaint / 5
