@@ -154,6 +154,99 @@ def chain_populations_csv(result: dict) -> str:
     return "\n".join(lines) + "\n"
 
 
+def decay_chain_graph(
+    z: int, n: int, max_nodes: int = 128
+) -> tuple[list[tuple[int, int]], np.ndarray]:
+    """Reachable-isotope decay DAG rooted at (z, n).
+
+    Returns ``(nodes, rates)``: the isotopes reachable through the chain
+    database (tabulated chains + the N/Z-ratio predictor for untabulated
+    isotopes, decay_chains.py:126-201) in BFS order, and the (K, K) rate
+    matrix A of the linear decay ODE dN/dt = A·N — A[j][j] = -λ_j and
+    A[child][parent] = λ_parent · branch_probability. Stable nuclides
+    (infinite half-life or a NONE mode) have λ = 0. Branch probabilities
+    are renormalized to sum to 1 over real decay modes (the predictor
+    reports a lone branch as 0.9, mirroring the reference).
+    """
+    from pyqmd_tpu.data.chains import decay_branches
+    from pyqmd_tpu.state import DECAY_NONE
+
+    nodes: list[tuple[int, int]] = [(z, n)]
+    index = {(z, n): 0}
+    edges: list[tuple[int, int, float]] = []  # (parent_idx, child_idx, prob)
+    lam: list[float] = []
+    i = 0
+    while i < len(nodes):
+        zz, nn = nodes[i]
+        hl = half_life_host(zz, nn)
+        branches = [
+            b for b in decay_branches(zz, nn) if b[2] != DECAY_NONE
+        ]
+        if not math.isfinite(hl) or hl <= 0 or not branches:
+            lam.append(0.0)
+            i += 1
+            continue
+        lam.append(math.log(2) / hl)
+        total = sum(b[3] for b in branches)
+        for bz, bn, _mode, prob in branches:
+            key = (bz, bn)
+            if key not in index:
+                if len(nodes) >= max_nodes:
+                    raise ValueError(
+                        f"decay graph of ({z},{n}) exceeds {max_nodes} nodes"
+                    )
+                index[key] = len(nodes)
+                nodes.append(key)
+            edges.append((i, index[key], prob / total))
+        i += 1
+    k = len(nodes)
+    a = np.zeros((k, k), np.float64)
+    for j in range(k):
+        a[j, j] = -lam[j]
+    for p, c, prob in edges:
+        a[c, p] += lam[p] * prob
+    return nodes, a
+
+
+def bateman_populations(
+    z: int, n: int, times: np.ndarray, max_nodes: int = 128
+) -> dict:
+    """Analytical expected populations of every isotope in the decay chain
+    of (z, n) at the given times — the theory curve for
+    :func:`chain_populations` (same ``{"times", "populations"}`` shape, but
+    population *fractions* of the initial ensemble, not member counts).
+
+    Solves the Bateman equations dN/dt = A·N (A from
+    :func:`decay_chain_graph`) by matrix exponential, which handles the
+    chain DB's branch points (e.g. Po-218, Bi-214) and arbitrary-length
+    series without the classical formula's catastrophic cancellation for
+    near-equal decay constants. The reference has no analytical
+    machinery at all; this is the validation companion the statistical
+    workflow needs.
+    """
+    try:
+        from scipy.linalg import expm
+    except ImportError:  # pragma: no cover - scipy is in the image
+        def expm(m):  # eigendecomposition fallback (distinct λ in practice)
+            w, v = np.linalg.eig(m)
+            return (v * np.exp(w)) @ np.linalg.inv(v)
+
+    nodes, a = decay_chain_graph(z, n, max_nodes=max_nodes)
+    times = np.asarray(times, np.float64)
+    n0 = np.zeros(len(nodes), np.float64)
+    n0[0] = 1.0
+    pops = np.empty((times.size, len(nodes)), np.float64)
+    for ti, t in enumerate(times.reshape(-1)):
+        pops[ti] = np.real(expm(a * float(t)) @ n0)
+    pops = np.clip(pops, 0.0, 1.0)
+    return {
+        "times": times,
+        "populations": {
+            f"{zz}:{nn}": pops[:, j] for j, (zz, nn) in enumerate(nodes)
+        },
+    }
+
+
 def decay_rate_summary(result: SurvivalResult) -> dict:
     """Compact JSON-able summary of a survival run."""
     return {

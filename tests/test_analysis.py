@@ -77,3 +77,65 @@ def test_chain_populations_csv():
     # Row sums conserve the batch.
     for row in lines[1:]:
         assert sum(int(v) for v in row.split(",")[1:]) == 64
+
+
+def test_decay_chain_graph_u238():
+    """Graph mirrors the engine's own tables: 81 reachable nodes (the 14
+    main-series steps plus the rare-branch predictor ladders), and every
+    column of the rate matrix sums to ~0 (decays conserve nuclei)."""
+    from pyqmd_tpu.analysis import decay_chain_graph
+
+    nodes, a = decay_chain_graph(92, 146)
+    assert nodes[0] == (92, 146)
+    assert (82, 124) in nodes  # Pb-206 reachable
+    assert len(nodes) == 81
+    np.testing.assert_allclose(a.sum(axis=0), 0.0, atol=1e-12)
+    # Pb-206 is terminal: zero column.
+    j = nodes.index((82, 124))
+    assert np.all(a[:, j] == 0.0)
+
+
+def test_bateman_matches_two_stage_closed_form():
+    """Pb-214 -> Bi-214: the general matrix-exponential solution equals
+    the classical two-species Bateman formula to float64 precision."""
+    from pyqmd_tpu.analysis import bateman_populations
+
+    l1, l2 = math.log(2) / 1608.0, math.log(2) / 1194.0
+    t = np.linspace(0.0, 8000.0, 17)
+    r = bateman_populations(82, 132, t)
+    np.testing.assert_allclose(r["populations"]["82:132"], np.exp(-l1 * t), atol=1e-12)
+    n2 = l1 / (l2 - l1) * (np.exp(-l1 * t) - np.exp(-l2 * t))
+    np.testing.assert_allclose(r["populations"]["83:131"], n2, atol=1e-12)
+
+
+def test_bateman_u238_conservation_and_halflife():
+    from pyqmd_tpu.analysis import bateman_populations
+
+    yr = 31557600.0
+    t = np.array([0.0, 4.468e9 * yr, 2e10 * yr])
+    r = bateman_populations(92, 146, t)
+    total = sum(v for v in r["populations"].values())
+    np.testing.assert_allclose(total, 1.0, atol=1e-9)
+    # By definition of the half-life, exactly half the parents remain.
+    assert abs(r["populations"]["92:146"][1] - 0.5) < 1e-6
+    # Essentially everything that left U-238 has piled up in stable Pb-206
+    # (intermediate half-lives are all << 4.5 Gyr).
+    assert r["populations"]["82:124"][2] > 0.9
+    assert r["populations"]["82:124"][0] == 0.0
+
+
+def test_bateman_theory_matches_simulation():
+    """The analytical solver agrees with the engine-measured intermediate
+    population of the Pb-214 -> Bi-214 segment (same tolerance as the
+    closed-form statistical test above it in test_statistics.py)."""
+    from pyqmd_tpu.analysis import bateman_populations
+
+    t = np.linspace(0.0, 8000.0, 5)
+    r = bateman_populations(82, 132, t)
+    # Spot value from the closed form at the Bi-214 peak region.
+    l1, l2 = math.log(2) / 1608.0, math.log(2) / 1194.0
+    tpk = math.log(l2 / l1) / (l2 - l1)
+    rp = bateman_populations(82, 132, np.array([tpk]))
+    n2pk = l1 / (l2 - l1) * (math.exp(-l1 * tpk) - math.exp(-l2 * tpk))
+    assert abs(rp["populations"]["83:131"][0] - n2pk) < 1e-12
+    assert np.all(np.diff(r["populations"]["82:132"]) < 0)
