@@ -145,7 +145,9 @@ def chain_populations(
 
 def chain_populations_csv(result: dict) -> str:
     """CSV form of a :func:`chain_populations` result (one column per
-    isotope, rows = time points)."""
+    isotope, rows = time points). Also accepts a
+    :func:`bateman_populations` result — the dicts share a shape, so the
+    measured and theoretical curves export identically."""
     keys = sorted(result["populations"])
     lines = ["time_s," + ",".join(keys)]
     for t_idx, t in enumerate(result["times"]):

@@ -164,6 +164,9 @@ def print_status(sim: Simulation) -> None:
         print(f"  half-life:  {hl_label}")
         print(f"  sim time:   {val:.2f} {unit}")
         print(f"  ejecta:     {s['ejecta']}")
+        # 0.5 sim unit = 1 fm (rendering.py:15).
+        print(f"  rms radius: {2.0 * s['rms_radius']:.1f} fm   "
+              f"kinetic: {s['kinetic_energy']:.1f}")
     print(f"  time scale: {format_time_scale(s['time_scale'])}")
     print(f"  substeps:   {s['substeps']}/{sim.max_substeps}"
           + ("  (auto)" if getattr(sim, "auto_adjust_substeps", False) else ""))

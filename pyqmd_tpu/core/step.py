@@ -157,7 +157,7 @@ def simulate_frame(
 # (a hand-copied key set there would break opaquely when a metric is added).
 METRIC_KEYS = (
     "nan", "alive", "kinetic", "z", "n", "half_life", "decay_counts",
-    "time_passed", "com", "chain_cursor",
+    "time_passed", "com", "chain_cursor", "rms_radius",
 )
 
 # Ensemble aggregates added by ensemble_step / the sharded frame builders
@@ -189,6 +189,7 @@ def state_metrics(state: NucleusState) -> dict:
         "time_passed": state.time_passed,
         "com": state.center_of_mass(),
         "chain_cursor": state.chain_cursor,
+        "rms_radius": state.rms_radius(),
     }
 
 

@@ -159,6 +159,18 @@ class NucleusState:
         cnt = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1.0)
         return jnp.sum(self.pos * w[..., None], axis=-2) / cnt
 
+    def rms_radius(self) -> jax.Array:
+        """RMS distance of alive nucleons from the center of mass — the
+        matter-radius observable (compare to the shell initializer's
+        R = 1.2·A^(1/3) scale, particles.py:69). No reference analog; the
+        reference never measures its own nuclei."""
+        w = self.alive.astype(self.pos.dtype)
+        cnt = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+        d2 = jnp.sum(
+            (self.pos - self.center_of_mass()[..., None, :]) ** 2, axis=-1
+        )
+        return jnp.sqrt(jnp.sum(d2 * w, axis=-1) / cnt)
+
     def replace(self, **kw: Any) -> "NucleusState":
         return dataclasses.replace(self, **kw)
 

@@ -115,9 +115,13 @@ def test_simulation_status_fields():
     s = sim.status()
     for k in ("isotope", "z", "n", "half_life", "alive", "decay_counts",
               "time_passed", "time_scale", "backend", "fps",
-              "substeps_per_sec"):
+              "substeps_per_sec", "rms_radius", "kinetic_energy"):
         assert k in s
     assert s["alive"] == 14
+    # C-14 matter radius: same scale as the initializer's R = 1.2*A^(1/3)
+    # shells (in sim units; finite and physically plausible).
+    assert 0.5 < s["rms_radius"] < 50.0
+    assert s["kinetic_energy"] >= 0.0
 
 
 def test_simulation_throughput_observability():

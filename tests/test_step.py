@@ -222,3 +222,30 @@ def test_ejecta_lifetime_uses_raw_physics_dt():
     assert float(ejecta_lifetime(jnp.asarray(ALPHA), dyn4, cfg)) == pytest.approx(
         life, rel=1e-5
     )
+
+
+def test_rms_radius_observable():
+    """rms_radius matches the hand-computed value, appears in frame
+    metrics, and orders physically (He-4 smaller than U-238)."""
+    cfg = SimConfig.for_isotope(92, 146, pad_to=128)
+    st = init_state(cfg, seed=0)
+    pos = np.asarray(st.pos)
+    alive = np.asarray(st.alive)
+    com = (pos * alive[:, None]).sum(0) / alive.sum()
+    expect = math.sqrt(
+        ((((pos - com) ** 2).sum(-1)) * alive).sum() / alive.sum()
+    )
+    got = float(st.rms_radius())
+    assert abs(got - expect) < 1e-4 * expect
+
+    fn = make_frame_fn(cfg, 4)
+    st2, m = fn(st, 1.0, 1 / 60)
+    assert "rms_radius" in m and np.isfinite(float(m["rms_radius"]))
+
+    cfg_he = SimConfig.for_isotope(2, 2, pad_to=8)
+    he = init_state(cfg_he, seed=0)
+    fn_he = make_frame_fn(cfg_he, 4)
+    for _ in range(10):
+        he, m_he = fn_he(he, 1.0, 1 / 60)
+        st2, m_u = fn(st2, 1.0, 1 / 60)
+    assert float(m_he["rms_radius"]) < float(m_u["rms_radius"])
