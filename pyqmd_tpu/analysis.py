@@ -16,7 +16,7 @@ import numpy as np
 
 from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.core.init import ensemble_init
-from pyqmd_tpu.core.step import make_frame_fn
+from pyqmd_tpu.core.step import make_decay_frame_fn, make_frame_fn
 from pyqmd_tpu.data.tables import half_life_host
 
 
@@ -64,19 +64,29 @@ def survival_curve(
     substeps: int = 10,
     seed: int = 0,
     pad_to: int = 8,
+    decay_only: bool = True,
 ) -> SurvivalResult:
     """Run a `batch`-nucleus ensemble of isotope (z, n) for `half_lives`
     tabulated half-lives and record the survival curve.
 
     The MLE half-life fit uses the endpoint survivor count:
     ``T = ln2 * t_end / -ln(S)``.
+
+    ``decay_only=True`` (default) skips forces/ejecta/overlap — the
+    isotope trajectories are bitwise identical either way (see
+    :func:`pyqmd_tpu.core.step.decay_ensemble_step`), orders of magnitude
+    cheaper for heavy isotopes; pass False to pay for full dynamics.
     """
     hl = half_life_host(z, n)
     if not math.isfinite(hl):
         raise ValueError(f"isotope ({z},{n}) is stable; no half-life to measure")
     cfg = SimConfig.for_isotope(z, n, pad_to=pad_to)
     states = ensemble_init(cfg, batch, seed=seed)
-    fn = make_frame_fn(cfg, substeps, batched=True)
+    fn = (
+        make_decay_frame_fn(cfg, substeps)
+        if decay_only
+        else make_frame_fn(cfg, substeps, batched=True)
+    )
     sim_dt = half_lives * hl / frames
 
     times = [0.0]
@@ -111,6 +121,7 @@ def chain_populations(
     substeps: int = 10,
     seed: int = 0,
     pad_to: int = 8,
+    decay_only: bool = True,
 ) -> dict:
     """Track the isotope populations of a decaying ensemble over time.
 
@@ -119,13 +130,18 @@ def chain_populations(
     decay-chain panel (rendering.py:248-380), resolved statistically: e.g.
     a U-238 ensemble shows daughters flowing down the chain toward secular
     equilibrium. Returns ``{"times": [...], "populations": {"Z:N": [...]}}``.
+    ``decay_only`` as in :func:`survival_curve`.
     """
     hl = half_life_host(z, n)
     if not math.isfinite(hl):
         raise ValueError(f"isotope ({z},{n}) is stable")
     cfg = SimConfig.for_isotope(z, n, pad_to=pad_to)
     states = ensemble_init(cfg, batch, seed=seed)
-    fn = make_frame_fn(cfg, substeps, batched=True)
+    fn = (
+        make_decay_frame_fn(cfg, substeps)
+        if decay_only
+        else make_frame_fn(cfg, substeps, batched=True)
+    )
     sim_dt = half_lives * hl / frames
 
     times = [0.0]

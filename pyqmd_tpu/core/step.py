@@ -314,6 +314,86 @@ def ensemble_step(
     return states, metrics
 
 
+def decay_ensemble_step(
+    states: NucleusState,
+    cfg: SimConfig,
+    time_scale,
+    frame_dt,
+    num_steps: int,
+    physics_dt=None,
+    raw_physics_dt=None,
+) -> tuple[NucleusState, dict]:
+    """Decay-statistics-only batched frame: Bernoulli decay + branch
+    sampling + masked particle adjustment, skipping ejecta advection, the
+    force step and overlap resolution — none of which can change WHICH
+    isotope a nucleus is.
+
+    The PRNG split structure is identical to :func:`ensemble_step` (the
+    force step consumes no randomness; the overlap key is split but
+    unused), so the isotope trajectories — z, n, half_life, decay_counts
+    and the chain log — are **bitwise identical** to the full-physics
+    frame (pinned by tests/test_batch_native.py); only positions,
+    velocities and ejecta go stale. O(B·P) per substep instead of
+    O(B·P²): the statistics workflows (`analysis.survival_curve`,
+    `analysis.chain_populations`) run orders of magnitude faster for
+    heavy isotopes.
+    """
+    time_scale = jnp.asarray(time_scale, jnp.float32)
+    frame_dt = jnp.asarray(frame_dt, jnp.float32)
+    if physics_dt is None:
+        physics_dt = cfg.effective_dt()
+    desired_dt = frame_dt * time_scale
+    states = states.replace(time_passed=states.time_passed + desired_dt)
+
+    dyn = FrameDynamics(
+        time_scale=time_scale,
+        substeps=jnp.asarray(float(num_steps), jnp.float32),
+        physics_dt=jnp.asarray(physics_dt, jnp.float32),
+        step_time=desired_dt / num_steps,
+        raw_physics_dt=(
+            None if raw_physics_dt is None
+            else jnp.asarray(raw_physics_dt, jnp.float32)
+        ),
+    )
+
+    base = jax.vmap(jax.random.wrap_key_data)(states.rng)
+    k3 = jax.vmap(lambda k: jax.random.split(k, 3))(base)  # (B, 3)
+    step_keys = jax.vmap(lambda k: jax.random.split(k, num_steps))(k3[:, 0])
+    step_keys = jnp.swapaxes(step_keys, 0, 1)  # (S, B) keys
+
+    def body(st, keys):
+        st = jax.vmap(lambda s, k: maybe_decay(s, cfg, k, dyn)[0])(st, keys)
+        return st, None
+
+    states, _ = jax.lax.scan(body, states, step_keys)
+    states = states.replace(
+        rng=jax.vmap(lambda k: jax.random.key_data(k).astype(jnp.uint32))(k3[:, 2]),
+    )
+
+    metrics = state_metrics(states)
+    metrics["total_decay_counts"] = jnp.sum(metrics["decay_counts"], axis=0)
+    metrics["total_alive"] = jnp.sum(metrics["alive"])
+    return states, metrics
+
+
+@functools.lru_cache(maxsize=64)
+def make_decay_frame_fn(cfg: SimConfig, num_steps: int):
+    """Jit-compiled :func:`decay_ensemble_step` for a (config, substep)
+    bucket — the batched frame for pure decay statistics."""
+    default_pdt = cfg.effective_dt()
+    default_raw = cfg.physics_dt
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def frame(state, time_scale, frame_dt, physics_dt=default_pdt,
+              raw_physics_dt=default_raw):
+        return decay_ensemble_step(
+            state, cfg, time_scale, frame_dt, num_steps, physics_dt,
+            raw_physics_dt,
+        )
+
+    return frame
+
+
 @functools.lru_cache(maxsize=64)
 def make_run_fn(
     cfg: SimConfig, num_steps: int, num_frames: int, batched: bool = False

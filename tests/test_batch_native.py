@@ -63,3 +63,28 @@ def test_fused_run_matches_frame_loop():
         np.asarray(a.state.decay_counts), np.asarray(b.state.decay_counts)
     )
     assert a.decay_log == b.decay_log
+
+
+def test_decay_only_frame_bitwise_isotope_trajectories():
+    """decay_ensemble_step (forces/ejecta/overlap skipped) walks the exact
+    same isotope trajectories as the full-physics ensemble frame: the PRNG
+    split structure is shared and forces consume no randomness."""
+    from pyqmd_tpu.core.step import make_decay_frame_fn, make_frame_fn
+
+    cfg = SimConfig.for_isotope(82, 132, pad_to=8)  # Pb-214 two-stage chain
+    full = ensemble_init(cfg, 48, seed=0)
+    fast = ensemble_init(cfg, 48, seed=0)
+    f_full = make_frame_fn(cfg, 6, batched=True)
+    f_fast = make_decay_frame_fn(cfg, 6)
+    for _ in range(5):
+        full, mf = f_full(full, 400.0, 1.0)
+        fast, md = f_fast(fast, 400.0, 1.0)
+    assert int(np.asarray(mf["total_decay_counts"]).sum()) > 10  # events happened
+    for k in ("z", "n", "half_life", "decay_counts", "chain_cursor",
+              "time_passed"):
+        np.testing.assert_array_equal(np.asarray(mf[k]), np.asarray(md[k]))
+    for fld in ("chain_z0", "chain_n0", "chain_dtype", "chain_z1", "chain_n1",
+                "chain_time", "rng"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(full, fld)), np.asarray(getattr(fast, fld))
+        )

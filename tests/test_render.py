@@ -467,3 +467,37 @@ def test_gif_delta_frames_shrink_output():
     ]
     n_repaint = len(gif_bytes(repaint))
     assert n_moving < n_repaint / 5
+
+
+def test_gif_palette_size_edges():
+    """Palette-size boundaries: 2-color (min code size floor), 1-frame
+    single color, exactly 256 (largest exact), 257 (quantized)."""
+    from pyqmd_tpu.render import gif_bytes
+
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from PIL import ImageSequence
+
+    def decode(data):
+        return [
+            np.array(fr.convert("RGB"))
+            for fr in ImageSequence.Iterator(PIL.open(io.BytesIO(data)))
+        ]
+
+    two = [np.zeros((10, 12, 3), np.uint8) for _ in range(3)]
+    for i, f in enumerate(two):
+        f[i : i + 3, i : i + 3] = 128
+    for a, b in zip(two, decode(gif_bytes(two))):
+        np.testing.assert_array_equal(a, b)
+
+    one = [np.full((5, 7, 3), 77, np.uint8)]
+    np.testing.assert_array_equal(decode(gif_bytes(one))[0], one[0])
+
+    full = np.zeros((16, 16, 3), np.uint8)
+    full[..., 0] = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    np.testing.assert_array_equal(decode(gif_bytes([full]))[0], full)
+
+    over = full.copy()
+    over[0, 0] = (1, 2, 3)
+    assert len(decode(gif_bytes([full, over]))) == 2
