@@ -96,6 +96,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="ensemble mode: run a survival-curve measurement over "
         "--half-lives tabulated half-lives, write CSV, print the fit",
     )
+    p.add_argument(
+        "--populations", metavar="CSV",
+        help="ensemble mode: track the isotope populations of a decaying "
+        "ensemble over --half-lives (one CSV column per isotope)",
+    )
+    p.add_argument(
+        "--theory", metavar="CSV",
+        help="write the analytical Bateman population expectation over "
+        "--half-lives (standalone, or on the same time grid as "
+        "--populations for a measured-vs-theory pair)",
+    )
     p.add_argument("--half-lives", type=float, default=2.0)
     p.add_argument(
         "--list-isotopes", action="store_true",
@@ -392,6 +403,44 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.survival, "w") as f:
             f.write(res.to_csv())
         print(json.dumps(decay_rate_summary(res)))
+        return 0
+
+    if args.populations or args.theory:
+        from pyqmd_tpu.analysis import (
+            bateman_populations,
+            chain_populations,
+            chain_populations_csv,
+        )
+        from pyqmd_tpu.data.tables import half_life_host
+
+        z, n = parse_isotope(args.isotope)
+        frames = args.frames if args.frames != 600 else 20
+        measured = None
+        if args.populations:
+            measured = chain_populations(
+                z, n,
+                batch=args.ensemble or 4096,
+                frames=frames,
+                half_lives=args.half_lives,
+                seed=args.seed,
+            )
+            with open(args.populations, "w") as f:
+                f.write(chain_populations_csv(measured))
+            print("wrote", args.populations)
+        if args.theory:
+            import numpy as _np
+
+            if measured is not None:
+                times = _np.asarray(measured["times"])
+            else:
+                hl = half_life_host(z, n)
+                if not __import__("math").isfinite(hl):
+                    parser.error(f"{args.isotope} is stable; no chain to solve")
+                times = _np.linspace(0.0, args.half_lives * hl, frames + 1)
+            theory = bateman_populations(z, n, times)
+            with open(args.theory, "w") as f:
+                f.write(chain_populations_csv(theory))
+            print("wrote", args.theory)
         return 0
 
     if args.load:

@@ -420,3 +420,34 @@ def test_cli_set_with_load_and_error_paths(tmp_path, capsys):
         cli_main(["--set", "bogus_field=1", "-q"])
     with pytest.raises(SystemExit):
         cli_main(["--set", "no_equals", "-q"])
+
+
+def test_cli_populations_and_theory(tmp_path, capsys):
+    """--populations writes the measured per-isotope CSV; --theory writes
+    the Bateman expectation on the same time grid (fractions sum to 1)."""
+    pops = tmp_path / "pops.csv"
+    theory = tmp_path / "theory.csv"
+    rc = cli_main([
+        "--isotope", "Pb-214", "--ensemble", "256", "--frames", "6",
+        "--half-lives", "2", "--populations", str(pops),
+        "--theory", str(theory), "-q",
+    ])
+    assert rc == 0
+    lines = pops.read_text().strip().splitlines()
+    header = lines[0].split(",")
+    assert header[0] == "time_s" and "82:132" in header
+    assert len(lines) == 8  # header + 7 time points
+    # Measured counts at t=0: all members are the parent.
+    row0 = dict(zip(header, lines[1].split(",")))
+    assert row0["82:132"] == "256"
+    tl = theory.read_text().strip().splitlines()
+    th = tl[0].split(",")
+    vals = [float(x) for x in tl[-1].split(",")[1:]]
+    assert abs(sum(vals) - 1.0) < 1e-6  # fractions conserve
+    assert len(tl) == 8
+
+    # --theory standalone (no simulation) on a stable isotope errors.
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli_main(["--isotope", "He-4", "--theory", str(theory)])
