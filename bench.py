@@ -102,19 +102,29 @@ def bench_fused_single(backend="pallas", frames_per_dispatch=50, reps=4):
     return reps * frames_per_dispatch * NUM_STEPS / dt
 
 
-def bench_halflife_accuracy(batch=32768, frames=20):
+def bench_halflife_accuracy(batch=32768, frames=20, decay_only=False):
     """BASELINE acceptance bar: C-14 ensemble half-life within 1%.
 
     Runs `batch` C-14 nuclei for 2 tabulated half-lives and MLE-fits the
     half-life from the survivor count. Statistical error at this ensemble
     size is ~0.7%, so a healthy run lands within 1%.
+
+    ``decay_only=True`` uses the statistics-only frame (bitwise-identical
+    isotope trajectories, no O(P²) forces), making million-nucleus
+    ensembles cheap — statistical error ~0.1% at batch=2**21.
     """
     import math
+
+    from pyqmd_tpu.core.step import make_decay_frame_fn
 
     hl_true = 5730 * 31557600.0
     cfg = SimConfig.for_isotope(6, 8, pad_to=8)
     states = ensemble_init(cfg, batch, seed=0)
-    fn = make_frame_fn(cfg, 10, batched=True)
+    fn = (
+        make_decay_frame_fn(cfg, 10)
+        if decay_only
+        else make_frame_fn(cfg, 10, batched=True)
+    )
     sim_dt = 0.1 * hl_true  # per frame, over 10 substeps
     for _ in range(frames):
         states, m = fn(states, sim_dt, 1.0)
@@ -266,6 +276,15 @@ def main():
         extras["c14_halflife_rel_error_32k"] = round(bench_halflife_accuracy(), 5)
     except Exception as e:
         extras["halflife_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # Million-nucleus statistics via the decay-only frame (forces skipped;
+    # isotope trajectories bitwise-identical — see decay_ensemble_step).
+    try:
+        extras["c14_halflife_rel_error_2m_decay_only"] = round(
+            bench_halflife_accuracy(batch=1 << 21, decay_only=True), 5
+        )
+    except Exception as e:
+        extras["halflife_2m_error"] = f"{type(e).__name__}: {e}"[:200]
 
     try:
         extras["u238_b1_fused_substeps_per_sec"] = round(bench_fused_single())

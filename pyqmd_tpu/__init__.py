@@ -24,7 +24,13 @@ Design (TPU-first, not a translation):
 from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.state import NucleusState, empty_state
 from pyqmd_tpu.core.init import ensemble_init, init_state, mixed_ensemble_init
-from pyqmd_tpu.core.step import ensemble_step, make_frame_fn, simulate_frame
+from pyqmd_tpu.core.step import (
+    decay_ensemble_step,
+    ensemble_step,
+    make_decay_frame_fn,
+    make_frame_fn,
+    simulate_frame,
+)
 from pyqmd_tpu.sim import Simulation
 
 __version__ = "0.3.0"
@@ -39,6 +45,8 @@ __all__ = [
     "mixed_ensemble_init",
     "simulate_frame",
     "ensemble_step",
+    "decay_ensemble_step",
     "make_frame_fn",
+    "make_decay_frame_fn",
     "__version__",
 ]

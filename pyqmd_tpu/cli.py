@@ -485,6 +485,7 @@ def main(argv: list[str] | None = None) -> int:
             sim.frame(args.frame_dt)
             if args.render and args.render_every and f % args.render_every == 0:
                 frames.append(
+                    sim.render_grid() if sim.batched else
                     sim.render(args.width, args.height, panels=not args.no_panels)
                 )
 
