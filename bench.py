@@ -257,13 +257,16 @@ def main():
     except Exception as e:
         extras["init_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # He-4 small-nucleus throughput (tiny-pad fast path).
-    try:
-        extras["he4_jnp_b10240_nucleus_substeps_per_sec"] = round(
-            bench_ensemble(2, 2, 10240, "jnp", pad_to=8)
-        )
-    except Exception as e:
-        extras["he4_error"] = f"{type(e).__name__}: {e}"[:200]
+    # He-4 small-nucleus throughput (tiny-pad fast path; jnp backend — the
+    # Pallas kernel needs P % 128 == 0). Completes the BASELINE bench
+    # matrix {He-4, U-238} x {1, 1k, 10k, 64k}.
+    for batch, frames in ((1, 100), (1024, 10), (10240, 5), (65536, 2)):
+        try:
+            extras[f"he4_jnp_b{batch}_nucleus_substeps_per_sec"] = round(
+                bench_ensemble(2, 2, batch, "jnp", frames=frames, pad_to=8)
+            )
+        except Exception as e:
+            extras[f"he4_b{batch}_error"] = f"{type(e).__name__}: {e}"[:200]
 
     try:
         fps, rb_fps = bench_render()

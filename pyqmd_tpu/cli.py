@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=800)
     p.add_argument("--height", type=int, default=600)
     p.add_argument(
+        "--zoom", type=float, default=None,
+        help="initial zoom for --render (default: the reference's 15.0, "
+        "sized for an 800x600+ viewport)",
+    )
+    p.add_argument(
         "--no-panels", action="store_true",
         help="render without the info/decay-chain panel overlays",
     )
@@ -467,6 +472,8 @@ def main(argv: list[str] | None = None) -> int:
             overrides=overrides,
         )
     sim.set_time_scale(parse_time_scale(str(args.time_scale)))
+    if args.zoom is not None:
+        sim.zoom = sim.target_zoom = float(args.zoom)
 
     if args.interactive:
         interactive(sim)

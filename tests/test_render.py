@@ -451,7 +451,8 @@ def test_gif_quantized_and_static_frames():
 
 def test_gif_delta_frames_shrink_output():
     """Changed-rect encoding: a movie with a small moving sprite is much
-    smaller than re-encoding the full canvas every frame."""
+    smaller than re-encoding the full canvas every frame (measured on the
+    fixed-width path, where size tracks emitted pixels directly)."""
     from pyqmd_tpu.render import gif_bytes
 
     base = np.zeros((120, 160, 3), np.uint8)
@@ -460,13 +461,15 @@ def test_gif_delta_frames_shrink_output():
         f = base.copy()
         f[10 + i : 14 + i, 20 + i : 24 + i] = 255
         moving.append(f)
-    n_moving = len(gif_bytes(moving))
+    n_moving = len(gif_bytes(moving, mode="fast"))
     # Same frame count but every pixel repainted each frame.
     repaint = [
         np.full((120, 160, 3), 10 * (i % 2), np.uint8) for i in range(8)
     ]
-    n_repaint = len(gif_bytes(repaint))
+    n_repaint = len(gif_bytes(repaint, mode="fast"))
     assert n_moving < n_repaint / 5
+    # The compact (true-LZW) path decodes identically and is no larger.
+    assert len(gif_bytes(moving, mode="compact")) <= n_moving
 
 
 def test_gif_palette_size_edges():
@@ -501,3 +504,33 @@ def test_gif_palette_size_edges():
     over = full.copy()
     over[0, 0] = (1, 2, 3)
     assert len(decode(gif_bytes([full, over]))) == 2
+
+
+def test_gif_compact_matches_fast_decode():
+    """The variable-width LZW path and the fixed-width path decode to
+    identical pixels across palette regimes (incl. a table-reset-sized
+    noisy frame) — verified against an independent decoder."""
+    from pyqmd_tpu.render import gif_bytes
+
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from PIL import ImageSequence
+
+    def decode(data):
+        return [
+            np.array(fr.convert("RGB"))
+            for fr in ImageSequence.Iterator(PIL.open(io.BytesIO(data)))
+        ]
+
+    rng = np.random.default_rng(1)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    noisy = pal[rng.integers(0, 256, (120, 200))]  # forces LZW table resets
+    grad = np.zeros((60, 256, 3), np.uint8)
+    grad[..., 1] = np.arange(256, dtype=np.uint8)
+    for frames in ([noisy, pal[rng.integers(0, 256, (120, 200))]], [grad]):
+        fast = decode(gif_bytes(frames, mode="fast"))
+        compact = decode(gif_bytes(frames, mode="compact"))
+        for a, b, c in zip(frames, fast, compact):
+            np.testing.assert_array_equal(a, b)
+            np.testing.assert_array_equal(b, c)
