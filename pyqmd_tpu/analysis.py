@@ -226,6 +226,26 @@ def decay_chain_graph(
     return nodes, a
 
 
+def _expm_taylor(m: np.ndarray) -> np.ndarray:
+    """Matrix exponential by scaling-and-squaring + Taylor — the no-scipy
+    fallback for :func:`bateman_populations`. Unlike plain
+    eigendecomposition it stays finite for *defective* rate matrices
+    (e.g. two chained isotopes that happen to share a decay constant)."""
+    norm = float(np.linalg.norm(m, 1))
+    k = max(0, int(np.ceil(np.log2(norm)))) + 1 if norm > 1e-300 else 0
+    a = m / (2.0 ** k)
+    out = np.eye(m.shape[0])
+    term = np.eye(m.shape[0])
+    for i in range(1, 40):
+        term = term @ a / i
+        out = out + term
+        if np.abs(term).max() < 1e-18:
+            break
+    for _ in range(k):
+        out = out @ out
+    return out
+
+
 def bateman_populations(
     z: int, n: int, times: np.ndarray, max_nodes: int = 128
 ) -> dict:
@@ -245,9 +265,7 @@ def bateman_populations(
     try:
         from scipy.linalg import expm
     except ImportError:  # pragma: no cover - scipy is in the image
-        def expm(m):  # eigendecomposition fallback (distinct λ in practice)
-            w, v = np.linalg.eig(m)
-            return (v * np.exp(w)) @ np.linalg.inv(v)
+        expm = _expm_taylor
 
     nodes, a = decay_chain_graph(z, n, max_nodes=max_nodes)
     times = np.asarray(times, np.float64)

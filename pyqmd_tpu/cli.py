@@ -41,8 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--isotope", default="U-238", help="e.g. U-238, C14, 92:146")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
-        "--frames", "--steps", dest="frames", type=int, default=600,
-        help="frames to simulate",
+        "--frames", "--steps", dest="frames", type=int, default=None,
+        help="frames to simulate (default 600; statistics modes like "
+        "--survival/--populations default to 20 time points)",
     )
     p.add_argument("--frame-dt", type=float, default=1 / 60, help="wall seconds per frame")
     p.add_argument(
@@ -401,7 +402,7 @@ def main(argv: list[str] | None = None) -> int:
         res = survival_curve(
             z, n,
             batch=args.ensemble or 4096,
-            frames=args.frames if args.frames != 600 else 20,
+            frames=args.frames if args.frames is not None else 20,
             half_lives=args.half_lives,
             seed=args.seed,
         )
@@ -411,6 +412,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.populations or args.theory:
+        import math as _math
+
+        import numpy as _np
+
         from pyqmd_tpu.analysis import (
             bateman_populations,
             chain_populations,
@@ -419,7 +424,9 @@ def main(argv: list[str] | None = None) -> int:
         from pyqmd_tpu.data.tables import half_life_host
 
         z, n = parse_isotope(args.isotope)
-        frames = args.frames if args.frames != 600 else 20
+        frames = args.frames if args.frames is not None else 20
+        if not _math.isfinite(half_life_host(z, n)):
+            parser.error(f"{args.isotope} is stable; no chain to measure")
         measured = None
         if args.populations:
             measured = chain_populations(
@@ -433,14 +440,10 @@ def main(argv: list[str] | None = None) -> int:
                 f.write(chain_populations_csv(measured))
             print("wrote", args.populations)
         if args.theory:
-            import numpy as _np
-
             if measured is not None:
                 times = _np.asarray(measured["times"])
             else:
                 hl = half_life_host(z, n)
-                if not __import__("math").isfinite(hl):
-                    parser.error(f"{args.isotope} is stable; no chain to solve")
                 times = _np.linspace(0.0, args.half_lives * hl, frames + 1)
             theory = bateman_populations(z, n, times)
             with open(args.theory, "w") as f:
@@ -473,7 +476,10 @@ def main(argv: list[str] | None = None) -> int:
         )
     sim.set_time_scale(parse_time_scale(str(args.time_scale)))
     if args.zoom is not None:
-        sim.zoom = sim.target_zoom = float(args.zoom)
+        from pyqmd_tpu.sim import MAX_ZOOM, MIN_ZOOM
+
+        # Same clamp as every interactive zoom path (nuclear_sim.py:74-75).
+        sim.zoom = sim.target_zoom = min(MAX_ZOOM, max(MIN_ZOOM, float(args.zoom)))
 
     if args.interactive:
         interactive(sim)
@@ -487,8 +493,9 @@ def main(argv: list[str] | None = None) -> int:
         from pyqmd_tpu.utils.profiling import trace
 
         profile_ctx = trace(args.profile)
+    num_frames = args.frames if args.frames is not None else 600
     with profile_ctx:
-        for f in range(args.frames):
+        for f in range(num_frames):
             sim.frame(args.frame_dt)
             if args.render and args.render_every and f % args.render_every == 0:
                 frames.append(

@@ -180,8 +180,7 @@ def state_metrics(state: NucleusState) -> dict:
             jnp.isfinite(state.pos) & jnp.isfinite(state.vel), axis=(-1, -2)
         ),
         "alive": state.alive_count(),
-        "kinetic": 0.5
-        * jnp.sum(jnp.sum(state.vel * state.vel, axis=-1) * state.alive, axis=-1),
+        "kinetic": state.kinetic_energy(),
         "z": state.z,
         "n": state.n,
         "half_life": state.half_life,

@@ -39,10 +39,13 @@ _CUBE = (6, 7, 6)  # fallback quantization levels per channel (252 colors)
 
 def _palette(frames: list[np.ndarray]) -> tuple[np.ndarray, bool]:
     """Global palette for the movie: (palette (K,3) uint8, exact?)."""
+    weights = np.array([1 << 16, 1 << 8, 1], np.uint32)
+    # Unique per frame first: peak memory stays O(one frame), not
+    # O(total pixels) — the palette is almost always tiny.
     packed = np.unique(
         np.concatenate(
             [
-                f.astype(np.uint32).reshape(-1, 3) @ np.array([1 << 16, 1 << 8, 1], np.uint32)
+                np.unique(f.astype(np.uint32).reshape(-1, 3) @ weights)
                 for f in frames
             ]
         )
@@ -166,6 +169,12 @@ def _lzw_true(indices: np.ndarray, min_code_size: int) -> bytes:
         w = ch
     if w:
         emit(table[w])
+        # The decoder adds one more table entry after reading this final
+        # code and may widen before reading the next — mirror that so the
+        # EOI is emitted at the width the decoder reads it at.
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
     emit(eoi)
     if nbits:
         out.append(acc & 0xFF)
@@ -227,7 +236,8 @@ def gif_bytes(
     table[:npal] = pal
     min_code_size = max(2, table_pow)  # spec: min code size ≥ 2
 
-    delay_cs = max(1, int(round(100.0 / max(fps, 1e-6))))  # centiseconds
+    # Centiseconds, clamped to the u16 field (fps below ~0.0016 saturates).
+    delay_cs = min(65535, max(1, int(round(100.0 / max(fps, 1e-6)))))
     out = [
         b"GIF89a",
         struct.pack("<HHBBB", w, h, 0x80 | ((table_pow - 1) << 4) | (table_pow - 1), 0, 0),

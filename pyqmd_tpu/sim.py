@@ -522,12 +522,7 @@ class Simulation:
             fps=self.fps,
             substeps_per_sec=self.substeps_per_sec,
             rms_radius=float(st.rms_radius()),
-            kinetic_energy=float(
-                0.5
-                * np.sum(
-                    np.sum(np.asarray(st.vel) ** 2, axis=-1) * np.asarray(st.alive)
-                )
-            ),
+            kinetic_energy=float(st.kinetic_energy()),
         )
 
     # -- render & persistence -------------------------------------------------

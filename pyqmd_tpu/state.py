@@ -159,6 +159,13 @@ class NucleusState:
         cnt = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1.0)
         return jnp.sum(self.pos * w[..., None], axis=-2) / cnt
 
+    def kinetic_energy(self) -> jax.Array:
+        """Total kinetic energy of alive nucleons, ½Σ|v|² (unit masses) —
+        the single definition used by both the metrics path and the
+        driver's status panel."""
+        w = self.alive.astype(self.vel.dtype)
+        return 0.5 * jnp.sum(jnp.sum(self.vel * self.vel, axis=-1) * w, axis=-1)
+
     def rms_radius(self) -> jax.Array:
         """RMS distance of alive nucleons from the center of mass — the
         matter-radius observable (compare to the shell initializer's

@@ -125,17 +125,54 @@ def test_bateman_u238_conservation_and_halflife():
 
 
 def test_bateman_theory_matches_simulation():
-    """The analytical solver agrees with the engine-measured intermediate
-    population of the Pb-214 -> Bi-214 segment (same tolerance as the
-    closed-form statistical test above it in test_statistics.py)."""
-    from pyqmd_tpu.analysis import bateman_populations
+    """An actual engine run (chain_populations over the decay-only frame)
+    agrees with the analytical solver on every substantial population of
+    the Pb-214 chain segment — the measured-vs-theory loop, in-suite."""
+    from pyqmd_tpu.analysis import bateman_populations, chain_populations
 
-    t = np.linspace(0.0, 8000.0, 5)
-    r = bateman_populations(82, 132, t)
-    # Spot value from the closed form at the Bi-214 peak region.
+    batch = 2048
+    measured = chain_populations(
+        82, 132, batch=batch, frames=8, half_lives=2.0, seed=0
+    )
+    theory = bateman_populations(82, 132, np.asarray(measured["times"]))
+    sigma = 1.0 / math.sqrt(batch)  # binomial sd bound at p=0.5
+    checked = 0
+    for key, th in theory["populations"].items():
+        ms = np.asarray(measured["populations"].get(key, [0] * len(th)))
+        th = np.asarray(th)
+        sel = th > 0.05  # where the expected population is substantial
+        if not sel.any():
+            continue
+        checked += 1
+        diff = np.abs(ms[sel] / batch - th[sel])
+        assert diff.max() < 5 * sigma, (key, diff.max())
+    assert checked >= 3  # parent + intermediate + sink all exercised
+    # Spot value from the closed form at the Bi-214 peak.
     l1, l2 = math.log(2) / 1608.0, math.log(2) / 1194.0
     tpk = math.log(l2 / l1) / (l2 - l1)
     rp = bateman_populations(82, 132, np.array([tpk]))
     n2pk = l1 / (l2 - l1) * (math.exp(-l1 * tpk) - math.exp(-l2 * tpk))
     assert abs(rp["populations"]["83:131"][0] - n2pk) < 1e-12
-    assert np.all(np.diff(r["populations"]["82:132"]) < 0)
+
+
+def test_expm_taylor_fallback():
+    """The no-scipy matrix exponential handles defective matrices (equal
+    decay constants, where eigendecomposition blows up) and matches scipy
+    where scipy applies."""
+    from pyqmd_tpu.analysis import _expm_taylor
+
+    lam = 0.3
+    # Defective: parent -> child with the SAME lambda (Jordan block).
+    a = np.array([[-lam, 0.0], [lam, -lam]])
+    for t in (0.1, 1.0, 10.0):
+        got = _expm_taylor(a * t)
+        # Closed form for the Jordan case: N2 = lam*t*exp(-lam*t).
+        assert np.isfinite(got).all()
+        assert abs(got[0, 0] - math.exp(-lam * t)) < 1e-12
+        assert abs(got[1, 0] - lam * t * math.exp(-lam * t)) < 1e-12
+    scipy_linalg = pytest.importorskip("scipy.linalg")
+    rng = np.random.default_rng(0)
+    m = rng.normal(size=(6, 6))
+    np.testing.assert_allclose(
+        _expm_taylor(m), scipy_linalg.expm(m), rtol=1e-9, atol=1e-9
+    )

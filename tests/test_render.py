@@ -534,3 +534,80 @@ def test_gif_compact_matches_fast_decode():
         for a, b, c in zip(frames, fast, compact):
             np.testing.assert_array_equal(a, b)
             np.testing.assert_array_equal(b, c)
+
+
+def test_gif_lzw_strict_decoder_fuzz():
+    """Both LZW paths against a spec-strict decoder (raises on truncated
+    streams, out-of-table codes, or trailing bytes) over randomized
+    frames — covers code-width growth, the widen-before-EOI edge, and
+    table resets."""
+    from pyqmd_tpu.render.gif import _lzw_fixed, _lzw_true
+
+    def strict_decode(data, expected_px):
+        min_code_size = data[0]
+        stream = bytearray()
+        i = 1
+        while True:
+            n = data[i]
+            i += 1
+            if n == 0:
+                break
+            stream += data[i : i + n]
+            i += n
+        assert i == len(data)  # no trailing bytes
+        clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+        code_size = min_code_size + 1
+        acc = nbits = pos = 0
+        out = bytearray()
+        table = prev = next_code = None
+
+        def read():
+            nonlocal acc, nbits, pos
+            while nbits < code_size:
+                assert pos < len(stream), "stream truncated"
+                acc |= stream[pos] << nbits
+                pos += 1
+                nbits += 8
+            c = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            return c
+
+        while True:
+            c = read()
+            if c == clear:
+                table = {k: bytes([k]) for k in range(clear)}
+                next_code, code_size, prev = eoi + 1, min_code_size + 1, None
+                continue
+            if c == eoi:
+                break
+            if prev is None:
+                assert c < clear
+                out += table[c]
+                prev = table[c]
+                continue
+            entry = table[c] if c < next_code else prev + prev[:1]
+            assert c <= next_code, "code beyond table"
+            out += entry
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            prev = entry
+        assert len(out) == expected_px
+        return bytes(out)
+
+    rng = np.random.default_rng(7)
+    for trial in range(300):
+        h = int(rng.integers(1, 32))
+        w = int(rng.integers(1, 32))
+        ncol = int(rng.integers(2, 257))
+        idx = rng.integers(0, ncol, (h, w)).astype(np.uint8)
+        mcs = max(2, int(np.ceil(np.log2(max(ncol, 2)))))
+        for enc in (_lzw_true, _lzw_fixed):
+            assert strict_decode(enc(idx, mcs), h * w) == idx.tobytes()
+    # Table-reset regime (>4096 sequences) and long runs.
+    big = rng.integers(0, 256, (200, 300)).astype(np.uint8)
+    assert strict_decode(_lzw_true(big, 8), big.size) == big.tobytes()
+    runs = np.repeat(np.arange(64, dtype=np.uint8), 137)[: 64 * 64].reshape(64, 64)
+    assert strict_decode(_lzw_true(runs, 6), runs.size) == runs.tobytes()
