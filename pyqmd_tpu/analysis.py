@@ -94,7 +94,8 @@ def survival_curve(
     m = None
     for f in range(frames):
         states, m = fn(states, sim_dt, 1.0)
-        alive = int(np.asarray((m["z"] == z) & (m["n"] == n)).sum())
+        # Reduce on device; read back ONE scalar, not a (B,) array.
+        alive = int(((m["z"] == z) & (m["n"] == n)).sum())
         times.append((f + 1) * sim_dt)
         survival.append(alive / batch)
 
@@ -129,9 +130,19 @@ def chain_populations(
     the per-nucleus (Z, N) — the population view of the reference's
     decay-chain panel (rendering.py:248-380), resolved statistically: e.g.
     a U-238 ensemble shows daughters flowing down the chain toward secular
-    equilibrium. Returns ``{"times": [...], "populations": {"Z:N": [...]}}``.
+    equilibrium. Returns ``{"times": [...], "populations": {"Z:N": [...]}}``
+    whose keys are the reachable chain nodes (:func:`decay_chain_graph`),
+    plus an ``"other"`` row if any member leaves the predicted graph.
     ``decay_only`` as in :func:`survival_curve`.
+
+    The histogram is computed ON DEVICE against the chain-node list, so
+    host readback is O(nodes) scalars per frame, not O(batch) — at a
+    2M-nucleus ensemble the per-frame readback drops from ~16 MB of
+    (Z, N) arrays to a few hundred bytes.
     """
+    import jax
+    import jax.numpy as jnp
+
     hl = half_life_host(z, n)
     if not math.isfinite(hl):
         raise ValueError(f"isotope ({z},{n}) is stable")
@@ -144,18 +155,31 @@ def chain_populations(
     )
     sim_dt = half_lives * hl / frames
 
+    nodes, _ = decay_chain_graph(z, n)
+    node_z = jnp.asarray([zz for zz, _ in nodes], jnp.int32)
+    node_n = jnp.asarray([nn for _, nn in nodes], jnp.int32)
+
+    @jax.jit
+    def hist(zs, ns):
+        eq = (zs[:, None] == node_z[None, :]) & (ns[:, None] == node_n[None, :])
+        counts = jnp.sum(eq, axis=0)
+        return counts, zs.shape[0] - jnp.sum(counts)
+
+    keys = [f"{zz}:{nn}" for zz, nn in nodes]
     times = [0.0]
-    pops: dict[str, list[int]] = {f"{z}:{n}": [batch]}
+    pops: dict[str, list[int]] = {k: [0] for k in keys}
+    pops[f"{z}:{n}"][0] = batch
+    other: list[int] = [0]
     for f in range(frames):
         states, m = fn(states, sim_dt, 1.0)
-        zs = np.asarray(m["z"])
-        ns = np.asarray(m["n"])
-        counts: dict[str, int] = {}
-        for zz, nn in zip(zs, ns):
-            counts[f"{zz}:{nn}"] = counts.get(f"{zz}:{nn}", 0) + 1
+        counts, extra = hist(m["z"], m["n"])
+        counts = np.asarray(counts)
         times.append((f + 1) * sim_dt)
-        for key in set(pops) | set(counts):
-            pops.setdefault(key, [0] * (len(times) - 1)).append(counts.get(key, 0))
+        for k, c in zip(keys, counts):
+            pops[k].append(int(c))
+        other.append(int(extra))
+    if any(other):
+        pops["other"] = other
     return {"times": times, "populations": pops}
 
 
