@@ -31,6 +31,10 @@ parser.add_argument(
     help="force the JAX platform BEFORE any op (cpu = the 8-virtual-device "
     "demo mesh; default: whatever devices the machine has)",
 )
+parser.add_argument(
+    "--cpu", action="store_const", const="cpu", dest="platform",
+    help="shorthand for --platform cpu (matches the other examples)",
+)
 args = parser.parse_args()
 
 import jax
