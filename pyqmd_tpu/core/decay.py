@@ -108,6 +108,13 @@ def _first_rank_masks(state: NucleusState):
     return alive_p, alive_n, prank, nrank
 
 
+def _decay_draw_count(cfg: SimConfig) -> int:
+    """Uniform draws consumed by :func:`_apply_decay_from_draws`:
+    branch, duration, half-life estimate, fragment count, then per-slot
+    fragment types and angles."""
+    return 4 + 2 * cfg.max_ejecta_per_event
+
+
 def apply_decay(
     state: NucleusState,
     cfg: SimConfig,
@@ -122,11 +129,32 @@ def apply_decay(
     nuclear_sim.py:166-167. The returned ``dtype`` is DECAY_NONE when no
     event fired.
     """
-    k_branch, k_dur, k_hl, k_ang, k_nfrag, k_ftype = jax.random.split(key, 6)
-
-    new_z, new_n, dtype = tables.sample_branch(
-        state.z, state.n, jax.random.uniform(k_branch)
+    return _apply_decay_from_draws(
+        state, cfg, jax.random.uniform(key, (_decay_draw_count(cfg),)), did, dyn
     )
+
+
+def _apply_decay_from_draws(
+    state: NucleusState,
+    cfg: SimConfig,
+    u: jax.Array,
+    did: jax.Array,
+    dyn: FrameDynamics,
+) -> tuple[NucleusState, jax.Array]:
+    """:func:`apply_decay` body over pre-drawn uniforms.
+
+    All of a substep's randomness comes in as ONE ``(4 + 2·k_e,)`` uniform
+    vector — a single threefry block — instead of the 2 key splits + 7
+    separate draws of the original formulation. At batch=1 the decay path
+    is RNG-latency-bound, so this is the difference between ~77 and ~47 µs
+    per substep (docs/PERFORMANCE.md).
+    """
+    k_e = cfg.max_ejecta_per_event
+    u_branch, u_dur, u_hl, u_nfrag = u[0], u[1], u[2], u[3]
+    u_ftype = u[4 : 4 + k_e]
+    u_ang = u[4 + k_e : 4 + 2 * k_e]
+
+    new_z, new_n, dtype = tables.sample_branch(state.z, state.n, u_branch)
     eff = did & (dtype != DECAY_NONE)
     effi = eff.astype(jnp.int32)
     efff = eff.astype(jnp.float32)
@@ -137,7 +165,7 @@ def apply_decay(
     measured = state.time_passed - state.last_decay_time
     hl = state.half_life
     hl_safe = jnp.where(jnp.isinf(hl), 1.0, hl)
-    rand_factor = -jnp.log(jnp.maximum(jax.random.uniform(k_dur), 1e-20))
+    rand_factor = -jnp.log(jnp.maximum(u_dur, 1e-20))
     alt = jnp.where(measured > 0.0, measured, hl_safe)
     synth = jnp.minimum(hl_safe * rand_factor / LN2_REF, alt)
     synth = jnp.where(jnp.isinf(hl), 0.0, synth)
@@ -173,24 +201,22 @@ def apply_decay(
     cnt = jnp.maximum(jnp.sum(w), 1.0)
     com = jnp.sum(state.pos * w[:, None], axis=0) / cnt
 
-    k_e = cfg.max_ejecta_per_event
     is_fission = dtype == DECAY_SPONTANEOUS_FISSION
     # randint(2, 3) inclusive (decay_chains.py:377).
-    nfrag_fission = 2 + jax.random.bernoulli(k_nfrag).astype(jnp.int32)
+    nfrag_fission = 2 + (u_nfrag < 0.5).astype(jnp.int32)
     nfrag = jnp.where(is_fission, nfrag_fission, 1)
     frag_idx = jnp.arange(k_e)
     frag_active = eff & (frag_idx < nfrag)
 
     # Fragment types: fixed per decay mode; fission fragments are alpha with
     # p=0.7 else neutron (decay_chains.py:383-388).
-    u_ft = jax.random.uniform(k_ftype, (k_e,))
-    fission_type = jnp.where(u_ft < 0.7, ALPHA, NEUTRON)
+    fission_type = jnp.where(u_ftype < 0.7, ALPHA, NEUTRON)
     frag_type = jnp.where(is_fission, fission_type, jnp.asarray(_DECAY_EJECTA_TYPE)[dtype])
 
     # Velocity: random angle, renormalized to the per-type base speed —
     # the reference normalizes each creator velocity to a fixed base speed
     # (nuclear_sim.py:296-313), so only the random direction survives.
-    angles = jax.random.uniform(k_ang, (k_e,), maxval=2.0 * jnp.pi)
+    angles = u_ang * (2.0 * jnp.pi)
     speed = jnp.asarray(EJECTA_SPEEDS)[frag_type]
     frag_vel = speed[:, None] * jnp.stack([jnp.cos(angles), jnp.sin(angles)], -1)
     frag_life = ejecta_lifetime(frag_type, dyn, cfg)
@@ -216,7 +242,7 @@ def apply_decay(
     z2 = jnp.where(eff, new_z, state.z).astype(jnp.int32)
     n2 = jnp.where(eff, new_n, state.n).astype(jnp.int32)
     hl2 = jnp.where(
-        eff, tables.half_life(new_z, new_n, jax.random.uniform(k_hl)), hl
+        eff, tables.half_life(new_z, new_n, u_hl), hl
     )
 
     new_state = state.replace(
@@ -253,11 +279,14 @@ def apply_decay(
 def maybe_decay(
     state: NucleusState, cfg: SimConfig, key: jax.Array, dyn: FrameDynamics
 ) -> tuple[NucleusState, jax.Array]:
-    """Bernoulli decay check for one substep (nuclear_sim.py:164-167)."""
-    k_bern, k_apply = jax.random.split(key)
+    """Bernoulli decay check for one substep (nuclear_sim.py:164-167).
+
+    The whole substep draws ONE uniform vector (Bernoulli draw + every
+    event draw) from the substep key — a single threefry block."""
+    u = jax.random.uniform(key, (1 + _decay_draw_count(cfg),))
     p = decay_probability(state.half_life, dyn.step_time)
-    did = jax.random.uniform(k_bern) < p
-    return apply_decay(state, cfg, k_apply, did, dyn)
+    did = u[0] < p
+    return _apply_decay_from_draws(state, cfg, u[1:], did, dyn)
 
 
 def force_decay(
