@@ -140,6 +140,7 @@ def _apply_decay_from_draws(
     u: jax.Array,
     did: jax.Array,
     dyn: FrameDynamics,
+    row_tables: bool = False,
 ) -> tuple[NucleusState, jax.Array]:
     """:func:`apply_decay` body over pre-drawn uniforms.
 
@@ -154,7 +155,16 @@ def _apply_decay_from_draws(
     u_ftype = u[4 : 4 + k_e]
     u_ang = u[4 + k_e : 4 + 2 * k_e]
 
-    new_z, new_n, dtype = tables.sample_branch(state.z, state.n, u_branch)
+    # Table access form (bitwise-identical results, different lowering —
+    # measured on TPU): batched frames win with ONE packed-row gather per
+    # cell (828k vs 794k nucleus-substeps/s at 10k); the single-nucleus
+    # path wins with flat scalar takes (52.6 vs 57.7 µs/substep).
+    if row_tables:
+        new_z, new_n, dtype = tables.sample_branch_from_row(
+            tables.lookup_row(state.z, state.n), u_branch
+        )
+    else:
+        new_z, new_n, dtype = tables.sample_branch(state.z, state.n, u_branch)
     eff = did & (dtype != DECAY_NONE)
     effi = eff.astype(jnp.int32)
     efff = eff.astype(jnp.float32)
@@ -242,7 +252,11 @@ def _apply_decay_from_draws(
     z2 = jnp.where(eff, new_z, state.z).astype(jnp.int32)
     n2 = jnp.where(eff, new_n, state.n).astype(jnp.int32)
     hl2 = jnp.where(
-        eff, tables.half_life(new_z, new_n, u_hl), hl
+        eff,
+        tables.half_life_from_row(tables.lookup_row(new_z, new_n), u_hl)
+        if row_tables
+        else tables.half_life(new_z, new_n, u_hl),
+        hl
     )
 
     new_state = state.replace(
@@ -277,16 +291,22 @@ def _apply_decay_from_draws(
 
 
 def maybe_decay(
-    state: NucleusState, cfg: SimConfig, key: jax.Array, dyn: FrameDynamics
+    state: NucleusState,
+    cfg: SimConfig,
+    key: jax.Array,
+    dyn: FrameDynamics,
+    row_tables: bool = False,
 ) -> tuple[NucleusState, jax.Array]:
     """Bernoulli decay check for one substep (nuclear_sim.py:164-167).
 
     The whole substep draws ONE uniform vector (Bernoulli draw + every
-    event draw) from the substep key — a single threefry block."""
+    event draw) from the substep key — a single threefry block.
+    ``row_tables`` selects the batched-frame table-gather form (see
+    :func:`_apply_decay_from_draws`); results are bitwise identical."""
     u = jax.random.uniform(key, (1 + _decay_draw_count(cfg),))
     p = decay_probability(state.half_life, dyn.step_time)
     did = u[0] < p
-    return _apply_decay_from_draws(state, cfg, u[1:], did, dyn)
+    return _apply_decay_from_draws(state, cfg, u[1:], did, dyn, row_tables)
 
 
 def force_decay(

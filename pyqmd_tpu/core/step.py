@@ -295,7 +295,9 @@ def ensemble_step(
 
     def body(st, keys):
         st = jax.vmap(lambda s: advance_ejecta(s, cfg, dyn))(st)
-        st = jax.vmap(lambda s, k: maybe_decay(s, cfg, k, dyn)[0])(st, keys)
+        st = jax.vmap(
+            lambda s, k: maybe_decay(s, cfg, k, dyn, row_tables=True)[0]
+        )(st, keys)
         pos, vel = fstep(st.pos, st.vel, st.ptype, st.alive, dyn.physics_dt, cfg)
         return st.replace(pos=pos, vel=vel), None
 
@@ -361,7 +363,9 @@ def decay_ensemble_step(
     step_keys = jnp.swapaxes(step_keys, 0, 1)  # (S, B) keys
 
     def body(st, keys):
-        st = jax.vmap(lambda s, k: maybe_decay(s, cfg, k, dyn)[0])(st, keys)
+        st = jax.vmap(
+            lambda s, k: maybe_decay(s, cfg, k, dyn, row_tables=True)[0]
+        )(st, keys)
         return st, None
 
     states, _ = jax.lax.scan(body, states, step_keys)

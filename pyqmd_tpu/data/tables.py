@@ -74,6 +74,52 @@ def _build() -> dict[str, np.ndarray]:
 
 _T = _build()
 
+# Packed row table: every per-cell field in one (CELLS, 16) f32 row, so a
+# decay event costs TWO row gathers (parent cell for the branch data,
+# daughter cell for the half-life) instead of nine flat-table gathers —
+# each gather is its own fusion, and at batch=1 the decay path is
+# fusion-latency-bound (docs/PERFORMANCE.md item 7). Integer fields ride
+# as exact f32 (all values << 2^24); rows pad to 16 lanes.
+# Layout: 0 hl_tab, 1 est_lo, 2 est_span, 3 est_scale, 4 est_stable,
+#         5 br_p0, 6-8 br_z0/br_n0/br_t0, 9-11 br_z1/br_n1/br_t1.
+_ROWS = np.zeros((_CELLS, 16), np.float32)
+_ROWS[:, 0] = _T["hl_tab"]
+_ROWS[:, 1] = _T["est_lo"]
+_ROWS[:, 2] = _T["est_span"]
+_ROWS[:, 3] = _T["est_scale"]
+_ROWS[:, 4] = _T["est_stable"].astype(np.float32)
+_ROWS[:, 5] = _T["br_p0"]
+_ROWS[:, 6] = _T["br_z"][:, 0]
+_ROWS[:, 7] = _T["br_n"][:, 0]
+_ROWS[:, 8] = _T["br_t"][:, 0]
+_ROWS[:, 9] = _T["br_z"][:, 1]
+_ROWS[:, 10] = _T["br_n"][:, 1]
+_ROWS[:, 11] = _T["br_t"][:, 1]
+
+
+def lookup_row(z, n):
+    """One (16,) packed data row for isotope (z, n) — see layout above."""
+    return jnp.take(jnp.asarray(_ROWS), _flat_index(z, n), axis=0)
+
+
+def half_life_from_row(row, u):
+    """:func:`half_life` over a pre-gathered packed row."""
+    est = jnp.where(
+        row[..., 4] > 0.5,
+        jnp.inf,
+        jnp.exp2(jnp.log2(10.0) * (row[..., 1] + u * row[..., 2])) * row[..., 3],
+    )
+    return jnp.where(jnp.isnan(row[..., 0]), est, row[..., 0]).astype(jnp.float32)
+
+
+def sample_branch_from_row(row, r):
+    """:func:`sample_branch` over a pre-gathered packed row."""
+    pick1 = r > row[..., 5]
+    new_z = jnp.where(pick1, row[..., 9], row[..., 6]).astype(jnp.int32)
+    new_n = jnp.where(pick1, row[..., 10], row[..., 7]).astype(jnp.int32)
+    dtype = jnp.where(pick1, row[..., 11], row[..., 8]).astype(jnp.int32)
+    return new_z, new_n, dtype
+
 
 def _flat_index(z, n):
     zc = jnp.clip(z, 0, Z_DIM - 1).astype(jnp.int32)
