@@ -264,3 +264,31 @@ def test_natural_series_arithmetic_consistent():
                 assert (z2, n2) == (z - 2, n - 2), (z, n, branches)
             elif dtype == DECAY_BETA_MINUS:
                 assert (z2, n2) == (z + 1, n - 1), (z, n, branches)
+
+
+def test_row_tables_bitwise_match_flat():
+    """The packed-row table form (batched-frame fast path) is bitwise
+    identical to the flat-table form on every (Z, N) grid cell for both
+    lookups and both branch outcomes."""
+    import jax
+
+    from pyqmd_tpu.data import tables
+
+    zs, ns = np.meshgrid(
+        np.arange(tables.Z_DIM), np.arange(tables.N_DIM), indexing="ij"
+    )
+    zs, ns = zs.reshape(-1), ns.reshape(-1)
+    for u in (0.0, 0.3, 0.99995):
+        a = np.asarray(jax.vmap(lambda z, n: tables.half_life(z, n, u))(zs, ns))
+        b = np.asarray(
+            jax.vmap(
+                lambda z, n: tables.half_life_from_row(tables.lookup_row(z, n), u)
+            )(zs, ns)
+        )
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+        r1 = jax.vmap(lambda z, n: tables.sample_branch(z, n, u))(zs, ns)
+        r2 = jax.vmap(
+            lambda z, n: tables.sample_branch_from_row(tables.lookup_row(z, n), u)
+        )(zs, ns)
+        for x, y in zip(r1, r2):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
