@@ -14,10 +14,18 @@ import math
 
 import numpy as np
 
+import jax
+
 from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.core.init import ensemble_init
 from pyqmd_tpu.core.step import make_decay_frame_fn, make_frame_fn
 from pyqmd_tpu.data.tables import half_life_host
+
+
+# Jitted survivor count — one program dispatch and one scalar readback per
+# frame instead of three eager op dispatches (z/n ride as traced scalars,
+# so isotope changes don't recompile).
+_count_isotope = jax.jit(lambda mz, mn, z, n: ((mz == z) & (mn == n)).sum())
 
 
 @dataclasses.dataclass
@@ -94,8 +102,8 @@ def survival_curve(
     m = None
     for f in range(frames):
         states, m = fn(states, sim_dt, 1.0)
-        # Reduce on device; read back ONE scalar, not a (B,) array.
-        alive = int(((m["z"] == z) & (m["n"] == n)).sum())
+        # Jitted on-device reduction, ONE scalar readback per frame.
+        alive = int(_count_isotope(m["z"], m["n"], z, n))
         times.append((f + 1) * sim_dt)
         survival.append(alive / batch)
 
@@ -140,7 +148,6 @@ def chain_populations(
     2M-nucleus ensemble the per-frame readback drops from ~16 MB of
     (Z, N) arrays to a few hundred bytes.
     """
-    import jax
     import jax.numpy as jnp
 
     hl = half_life_host(z, n)
@@ -172,8 +179,9 @@ def chain_populations(
     other: list[int] = [0]
     for f in range(frames):
         states, m = fn(states, sim_dt, 1.0)
-        counts, extra = hist(m["z"], m["n"])
-        counts = np.asarray(counts)
+        # ONE combined host transfer per frame (each readback is a ~30 ms
+        # RPC through the axon tunnel).
+        counts, extra = jax.device_get(hist(m["z"], m["n"]))
         times.append((f + 1) * sim_dt)
         for k, c in zip(keys, counts):
             pops[k].append(int(c))

@@ -78,7 +78,7 @@ _T = _build()
 # decay event costs TWO row gathers (parent cell for the branch data,
 # daughter cell for the half-life) instead of nine flat-table gathers —
 # each gather is its own fusion, and at batch=1 the decay path is
-# fusion-latency-bound (docs/PERFORMANCE.md item 7). Integer fields ride
+# fusion-latency-bound (docs/PERFORMANCE.md item 7b). Integer fields ride
 # as exact f32 (all values << 2^24); rows pad to 16 lanes.
 # Layout: 0 hl_tab, 1 est_lo, 2 est_span, 3 est_scale, 4 est_stable,
 #         5 br_p0, 6-8 br_z0/br_n0/br_t0, 9-11 br_z1/br_n1/br_t1.
