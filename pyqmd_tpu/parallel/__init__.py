@@ -7,6 +7,7 @@ helpers, P5 particle-axis ring sharding.
 """
 
 from pyqmd_tpu.parallel.ensemble import (
+    make_sharded_decay_fn,
     make_sharded_frame_fn,
     make_sharded_run_fn,
     survival_fraction,
@@ -33,6 +34,7 @@ __all__ = [
     "make_hybrid_frame_fn",
     "make_ring_force_step",
     "make_ring_frame_fn",
+    "make_sharded_decay_fn",
     "make_sharded_frame_fn",
     "make_sharded_run_fn",
     "replicated",

@@ -25,6 +25,7 @@ from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.core.step import (
     AGGREGATE_METRIC_KEYS,
     METRIC_KEYS,
+    decay_ensemble_step,
     ensemble_step,
     state_metrics,
 )
@@ -88,6 +89,25 @@ def make_sharded_frame_fn(cfg: SimConfig, num_steps: int, mesh, axis: str = DATA
 
     def local_frame(states, time_scale, frame_dt):
         new_states, metrics = ensemble_step(
+            states, cfg, time_scale, frame_dt, num_steps
+        )
+        return new_states, psum_aggregates(metrics, cfg, axis)
+
+    return make_sharded_caller(local_frame, mesh, axis)
+
+
+def make_sharded_decay_fn(
+    cfg: SimConfig, num_steps: int, mesh, axis: str = DATA_AXIS
+):
+    """Sharded decay-only frame: the multi-chip form of
+    :func:`pyqmd_tpu.core.step.decay_ensemble_step` — pure decay
+    statistics (no forces/ejecta/overlap) over the ``data`` axis with
+    psum'd aggregates. Isotope trajectories are bitwise identical to the
+    sharded full-physics frame, so pod-scale half-life measurements
+    (N × 2M nuclei) cost O(B·P) per substep per chip."""
+
+    def local_frame(states, time_scale, frame_dt):
+        new_states, metrics = decay_ensemble_step(
             states, cfg, time_scale, frame_dt, num_steps
         )
         return new_states, psum_aggregates(metrics, cfg, axis)

@@ -286,3 +286,35 @@ def test_sharded_run_matches_frame_loop(eight_devices):
         np.asarray(ma["total_decay_counts"]), np.asarray(mb["total_decay_counts"])
     )
     assert int(ma["survivors"]) == int(mb["survivors"])
+
+
+def test_sharded_decay_frame_matches_unsharded(eight_devices):
+    """Sharded decay-only frame: isotope trajectories and psum'd
+    aggregates bitwise-match the unsharded decay_ensemble_step."""
+    from pyqmd_tpu.core.step import decay_ensemble_step
+    from pyqmd_tpu.parallel import make_sharded_decay_fn, shard_ensemble
+    from pyqmd_tpu.parallel.mesh import make_mesh
+
+    cfg = SimConfig.for_isotope(82, 132, pad_to=8)  # Pb-214: events happen
+    batch = 32
+    states = ensemble_init(cfg, batch, seed=0)
+    ref_states, ref_m = jax.jit(
+        lambda s: decay_ensemble_step(s, cfg, 400.0, 1.0, 4)
+    )(states)
+
+    mesh = make_mesh()
+    sharded = shard_ensemble(ensemble_init(cfg, batch, seed=0), mesh)
+    fn = make_sharded_decay_fn(cfg, 4, mesh)
+    out_states, m = fn(sharded, 400.0, 1.0)
+
+    for fld in ("z", "n", "half_life", "decay_counts", "rng"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out_states, fld)),
+            np.asarray(getattr(ref_states, fld)),
+        )
+    np.testing.assert_array_equal(
+        np.asarray(m["total_decay_counts"]), np.asarray(ref_m["total_decay_counts"])
+    )
+    assert int(m["survivors"]) == int(
+        np.asarray((ref_m["z"] == 82) & (ref_m["n"] == 132)).sum()
+    )
