@@ -27,7 +27,9 @@ from pyqmd_tpu import Simulation  # noqa: E402
 from pyqmd_tpu.render import write_apng  # noqa: E402
 
 sim = Simulation(z=92, n=146, seed=0)
-sim.set_preset("billion")
+# 10 billion years per wall-second: this seed walks the complete chain to
+# stable Pb-206 inside the default 240 frames (4 wall-seconds of sim).
+sim.set_time_scale(3.16e17)
 
 frames = []
 for f in range(args.frames):
