@@ -78,6 +78,18 @@ def make_sharded_caller(local_fn, mesh, axis: str):
     return call
 
 
+def _make_sharded_step_fn(step_fn, cfg: SimConfig, num_steps: int, mesh, axis: str):
+    """Shared builder: one sharded frame around any batched step function
+    (full physics or decay-only) — the single place the per-frame
+    psum-aggregation wrapping lives."""
+
+    def local_frame(states, time_scale, frame_dt):
+        new_states, metrics = step_fn(states, cfg, time_scale, frame_dt, num_steps)
+        return new_states, psum_aggregates(metrics, cfg, axis)
+
+    return make_sharded_caller(local_frame, mesh, axis)
+
+
 def make_sharded_frame_fn(cfg: SimConfig, num_steps: int, mesh, axis: str = DATA_AXIS):
     """Jit-compiled sharded ensemble frame.
 
@@ -86,14 +98,7 @@ def make_sharded_frame_fn(cfg: SimConfig, num_steps: int, mesh, axis: str = DATA
     Per-nucleus metrics stay sharded with the batch; ``total_decay_counts``
     and ``total_alive`` / ``survivors`` are psum'd across devices.
     """
-
-    def local_frame(states, time_scale, frame_dt):
-        new_states, metrics = ensemble_step(
-            states, cfg, time_scale, frame_dt, num_steps
-        )
-        return new_states, psum_aggregates(metrics, cfg, axis)
-
-    return make_sharded_caller(local_frame, mesh, axis)
+    return _make_sharded_step_fn(ensemble_step, cfg, num_steps, mesh, axis)
 
 
 def make_sharded_decay_fn(
@@ -105,14 +110,7 @@ def make_sharded_decay_fn(
     psum'd aggregates. Isotope trajectories are bitwise identical to the
     sharded full-physics frame, so pod-scale half-life measurements
     (N × 2M nuclei) cost O(B·P) per substep per chip."""
-
-    def local_frame(states, time_scale, frame_dt):
-        new_states, metrics = decay_ensemble_step(
-            states, cfg, time_scale, frame_dt, num_steps
-        )
-        return new_states, psum_aggregates(metrics, cfg, axis)
-
-    return make_sharded_caller(local_frame, mesh, axis)
+    return _make_sharded_step_fn(decay_ensemble_step, cfg, num_steps, mesh, axis)
 
 
 def make_sharded_run_fn(
