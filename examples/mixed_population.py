@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--cpu", action="store_true")
+parser.add_argument(
+    "--quick", action="store_true",
+    help="tiny population + fewer frames (used by the example smoke test)",
+)
 args = parser.parse_args()
 
 if args.cpu:
@@ -31,13 +35,17 @@ from pyqmd_tpu.data import isotope_label  # noqa: E402
 RN222_HL = 3.8235 * 86400.0
 
 cfg = SimConfig.for_isotope(86, 136, pad_to=8)  # capacity sized for Rn-222
-species = [(86, 136, 256), (6, 8, 256), (2, 2, 64)]
+species = (
+    [(86, 136, 32), (6, 8, 32), (2, 2, 8)]
+    if args.quick
+    else [(86, 136, 256), (6, 8, 256), (2, 2, 64)]
+)
 states = mixed_ensemble_init(cfg, species, seed=0)
 fn = make_frame_fn(cfg, 10, batched=True)
 
 sim_dt = 0.25 * RN222_HL  # quarter Rn-222 half-life per frame
 print(f"{'t / T(Rn-222)':>14}  populations")
-for f in range(9):
+for f in range(5 if args.quick else 9):
     if f:
         states, m = fn(states, sim_dt, 1.0)
     zs, ns = np.asarray(states.z), np.asarray(states.n)
