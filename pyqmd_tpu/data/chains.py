@@ -5,8 +5,9 @@ the full 14-step U-238 series with the Po-218 and Bi-214 branch points
 (0.9998/0.0002 splits), the U-235 and Th-232 series openings, medical and
 fission-product isotopes, and the light H-3 / C-14 chains — plus a
 beyond-reference completion of the U-235 (actinium) and Th-232 (thorium)
-natural series down to stable Pb-207 / Pb-208, so all three natural decay
-series run end to end on tabulated physics instead of falling back to the
+natural series down to stable Pb-207 / Pb-208 AND the extinct neptunium
+(4n+1) series (Np-237 to stable Tl-205), so all FOUR natural decay series
+run end to end on tabulated physics instead of falling back to the
 random estimator (docs/PARITY.md "Beyond-reference capabilities").
 
 The reference predicts modes for unlisted isotopes by *mutating the global
@@ -84,6 +85,23 @@ DECAY_CHAINS: dict[tuple[int, int], list[tuple[int, int, int, float]]] = {
                 (81, 127, DECAY_ALPHA, 0.3594)],         # Bi-212 -> Tl-208
     (84, 128): [(82, 126, DECAY_ALPHA, 1.0)],            # Po-212 -> Pb-208 (stable)
     (81, 127): [(82, 126, DECAY_BETA_MINUS, 1.0)],       # Tl-208 -> Pb-208 (stable)
+    # Neptunium (4n+1) series — beyond-reference: the fourth natural decay
+    # series (extinct; absent from the reference), Np-237 down to Tl-205
+    # via the Bi-213 branch point and the 2e19-year Bi-209 alpha decay.
+    (93, 144): [(91, 142, DECAY_ALPHA, 1.0)],            # Np-237 -> Pa-233
+    (91, 142): [(92, 141, DECAY_BETA_MINUS, 1.0)],       # Pa-233 -> U-233
+    (92, 141): [(90, 139, DECAY_ALPHA, 1.0)],            # U-233 -> Th-229
+    (90, 139): [(88, 137, DECAY_ALPHA, 1.0)],            # Th-229 -> Ra-225
+    (88, 137): [(89, 136, DECAY_BETA_MINUS, 1.0)],       # Ra-225 -> Ac-225
+    (89, 136): [(87, 134, DECAY_ALPHA, 1.0)],            # Ac-225 -> Fr-221
+    (87, 134): [(85, 132, DECAY_ALPHA, 1.0)],            # Fr-221 -> At-217
+    (85, 132): [(83, 130, DECAY_ALPHA, 1.0)],            # At-217 -> Bi-213
+    (83, 130): [(84, 129, DECAY_BETA_MINUS, 0.9791),     # Bi-213 -> Po-213
+                (81, 128, DECAY_ALPHA, 0.0209)],         # Bi-213 -> Tl-209
+    (84, 129): [(82, 127, DECAY_ALPHA, 1.0)],            # Po-213 -> Pb-209
+    (81, 128): [(82, 127, DECAY_BETA_MINUS, 1.0)],       # Tl-209 -> Pb-209
+    (82, 127): [(83, 126, DECAY_BETA_MINUS, 1.0)],       # Pb-209 -> Bi-209
+    (83, 126): [(81, 124, DECAY_ALPHA, 1.0)],            # Bi-209 -> Tl-205 (stable)
     # Medical isotopes
     (43, 56): [(43, 56, DECAY_GAMMA, 0.99),              # Tc-99m -> Tc-99
                (43, 56, DECAY_BETA_MINUS, 0.01)],        # Tc-99m -> Ru-99

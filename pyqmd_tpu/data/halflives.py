@@ -4,8 +4,10 @@ Physical-constant table covering the reference database
 (/root/reference/decay_chains.py:13-123: ~70 isotopes from H-1 to Pu-244,
 the full U-238 chain membership, common medical/industrial isotopes) PLUS
 a beyond-reference completion of the U-235 and Th-232 natural series (22
-isotopes down to stable Pb-207/Pb-208 — see the section comments below and
-docs/PARITY.md "Beyond-reference capabilities"). Values are seconds;
+isotopes down to stable Pb-207/Pb-208) and the full neptunium (4n+1)
+series the reference lacks entirely (13 more, Np-237 to stable Tl-205 —
+see the section comments below and docs/PARITY.md "Beyond-reference
+capabilities"). Values are seconds;
 ``float('inf')`` marks stable isotopes.
 
 Unlike the reference (a Python dict consulted from host code on every
@@ -101,6 +103,22 @@ HALF_LIVES: dict[tuple[int, int], float] = {
     (94, 145): 6.56e3 * YEAR,    # Pu-239
     (94, 146): 6.56e3 * YEAR,    # Pu-240
     (94, 150): 8.00e7 * YEAR,    # Pu-244
+    # Neptunium (4n+1) series — beyond-reference: the FOURTH natural decay
+    # series, extinct in nature (Np-237 T << Earth's age) and absent from
+    # the reference entirely; runs Np-237 -> ... -> Bi-209 -> Tl-205.
+    (91, 142): 26.975 * DAY,     # Pa-233
+    (92, 141): 1.592e5 * YEAR,   # U-233
+    (90, 139): 7917 * YEAR,      # Th-229
+    (88, 137): 14.9 * DAY,       # Ra-225
+    (89, 136): 9.92 * DAY,       # Ac-225
+    (87, 134): 4.79 * MINUTE,    # Fr-221
+    (85, 132): 0.0326,           # At-217
+    (83, 130): 45.61 * MINUTE,   # Bi-213 (branch point)
+    (84, 129): 3.72e-6,          # Po-213
+    (81, 128): 2.16 * MINUTE,    # Tl-209
+    (82, 127): 3.234 * HOUR,     # Pb-209 (isotope key 8 in the keymap)
+    (83, 126): 2.01e19 * YEAR,   # Bi-209 — the famous near-stable alpha emitter
+    (81, 124): INF,              # Tl-205 (stable)
     # Radium / Radon / Polonium
     (88, 138): 1600 * YEAR,      # Ra-226
     (86, 136): 3.8235 * DAY,     # Rn-222

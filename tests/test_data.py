@@ -292,3 +292,22 @@ def test_row_tables_bitwise_match_flat():
         )(zs, ns)
         for x, y in zip(r1, r2):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_np237_series_complete_to_tl205():
+    """Beyond-reference: the neptunium (4n+1) series — the fourth natural
+    decay series, extinct in nature and entirely absent from the
+    reference — runs fully tabulated from Np-237 through the Bi-213
+    branch point and the 2e19-year Bi-209 alpha decay to stable Tl-205."""
+    path = _walk_main_chain(93, 144)
+    assert path[-1] == (81, 124)  # Tl-205
+    assert (83, 130) in path  # Bi-213 branch point
+    assert (83, 126) in path  # Bi-209 (near-stable alpha emitter)
+    assert (82, 127) in path  # Pb-209 — keymap isotope 8 now tabulated
+    assert len(path) == 13
+    from pyqmd_tpu.data.halflives import HALF_LIVES
+
+    assert all(p in HALF_LIVES for p in path)
+    # The rare Bi-213 alpha branch (-> Tl-209) also converges to Tl-205.
+    rare = _walk_main_chain(81, 128)
+    assert rare[-1] == (81, 124)

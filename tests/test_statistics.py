@@ -97,3 +97,23 @@ def test_th232_series_end_to_end_simulation():
     # branch variant is 6a+4b too (orders differ), totals are fixed.
     assert counts[1] == 6 and counts[2] == 4, counts
     assert bool(jnp.all(jnp.isfinite(st.pos)))
+
+
+def test_np237_series_end_to_end_simulation():
+    """An Np-237 nucleus walks the (4n+1) neptunium series to Bi-209 —
+    the series' effective endpoint at any simulated time scale (its
+    2e19-year alpha decay to Tl-205 is tabulated but essentially frozen)
+    — inside the full jit'd frame loop: 7 alpha + 4 beta-minus."""
+    from pyqmd_tpu import SimConfig, init_state, make_frame_fn
+
+    cfg = SimConfig.for_isotope(93, 144, pad_to=8)
+    fn = make_frame_fn(cfg, cfg.num_substeps(1 / 60, 3.15576e16))
+    st = init_state(cfg, seed=0)
+    for _ in range(40):
+        st, m = fn(st, 3.15576e16, 1 / 60)
+        if int(st.z) == 83 and int(st.n) == 126:
+            break
+    assert (int(st.z), int(st.n)) == (83, 126)  # Bi-209
+    counts = np.asarray(st.decay_counts)
+    assert counts[1] == 7 and counts[2] == 4, counts
+    assert bool(jnp.all(jnp.isfinite(st.pos)))
