@@ -207,6 +207,32 @@ def bench_render(fps_frames=60):
     return fps, rb_fps
 
 
+def _emit(results, extras):
+    """Print the result line with everything gathered SO FAR. Called after
+    each major section as well as at the end: the driver reads the LAST
+    complete JSON line, so if a cold-cache run is killed mid-way (every
+    compile goes through a 1-4 min remote helper), the most recent
+    partial line still records the headline."""
+    best_key = max(
+        (k for k in results if k.endswith("b10240")),
+        key=lambda k: results[k],
+        default=None,
+    )
+    value = results.get(best_key, 0.0)
+    print(
+        json.dumps(
+            {
+                "metric": "u238_10k_ensemble_nucleus_substeps_per_sec",
+                "value": round(value, 1),
+                "unit": "nucleus-substeps/s",
+                "vs_baseline": round(value / 1200.0, 1),
+                "extra": extras,
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     device = jax.devices()[0]
     extras = {"device": str(device), "backend": jax.default_backend()}
@@ -224,6 +250,7 @@ def main():
                 extras[key + "_nucleus_substeps_per_sec"] = round(results[key])
         except Exception as e:  # a backend failing must not kill the bench
             extras[f"{backend}_error"] = f"{type(e).__name__}: {e}"[:200]
+        _emit(results, extras)  # partial line: headline known per backend
 
     # 64k-nucleus config (BASELINE bench matrix) on the faster backend.
     best10k = max(
@@ -267,6 +294,7 @@ def main():
             )
         except Exception as e:
             extras[f"he4_b{batch}_error"] = f"{type(e).__name__}: {e}"[:200]
+    _emit(results, extras)  # partial line: full throughput matrix done
 
     try:
         fps, rb_fps = bench_render()
@@ -301,24 +329,7 @@ def main():
     except Exception as e:
         extras["kernel_equiv_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    best_key = max(
-        (k for k in results if k.endswith("b10240")),
-        key=lambda k: results[k],
-        default=None,
-    )
-    value = results.get(best_key, 0.0)
-    baseline = 1200.0  # reference structural max force-substeps/s
-    print(
-        json.dumps(
-            {
-                "metric": "u238_10k_ensemble_nucleus_substeps_per_sec",
-                "value": round(value, 1),
-                "unit": "nucleus-substeps/s",
-                "vs_baseline": round(value / baseline, 1),
-                "extra": extras,
-            }
-        )
-    )
+    _emit(results, extras)  # final line: everything
 
 
 if __name__ == "__main__":
