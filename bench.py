@@ -1,4 +1,6 @@
-"""Benchmark harness — prints ONE JSON line with the headline metric.
+"""Benchmark harness — prints progressive JSON result lines; the LAST
+complete line is the result (earlier lines are partial snapshots so a
+killed cold-cache run still records its headline).
 
 Headline: U-238 full-physics nucleus-substeps per second on a 10k-nucleus
 ensemble (force + integrate + decay sampling + ejecta, the complete substep
@@ -207,18 +209,22 @@ def bench_render(fps_frames=60):
     return fps, rb_fps
 
 
+def _best_b10240(results):
+    """Key of the fastest 10k-ensemble measurement (the headline)."""
+    return max(
+        (k for k in results if k.endswith("b10240")),
+        key=lambda k: results[k],
+        default=None,
+    )
+
+
 def _emit(results, extras):
     """Print the result line with everything gathered SO FAR. Called after
     each major section as well as at the end: the driver reads the LAST
     complete JSON line, so if a cold-cache run is killed mid-way (every
     compile goes through a 1-4 min remote helper), the most recent
     partial line still records the headline."""
-    best_key = max(
-        (k for k in results if k.endswith("b10240")),
-        key=lambda k: results[k],
-        default=None,
-    )
-    value = results.get(best_key, 0.0)
+    value = results.get(_best_b10240(results), 0.0)
     print(
         json.dumps(
             {
@@ -253,11 +259,7 @@ def main():
         _emit(results, extras)  # partial line: headline known per backend
 
     # 64k-nucleus config (BASELINE bench matrix) on the faster backend.
-    best10k = max(
-        (k for k in results if k.endswith("b10240")),
-        key=lambda k: results[k],
-        default=None,
-    )
+    best10k = _best_b10240(results)
     if best10k:
         backend = best10k.split("_")[1]
         try:

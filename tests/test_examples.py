@@ -46,6 +46,6 @@ def test_examples_list_is_complete():
     """A new example must be added to the smoke matrix."""
     on_disk = {
         f for f in os.listdir(os.path.join(_REPO, "examples"))
-        if f.endswith(".py")
+        if f.endswith(".py") and not f.startswith("_")  # _helpers exempt
     }
     assert on_disk == set(_CASES), on_disk ^ set(_CASES)
