@@ -315,6 +315,25 @@ def bateman_populations(
     }
 
 
+def bateman_activity(z: int, n: int, times: np.ndarray, max_nodes: int = 128) -> dict:
+    """Analytical activity curves A_i(t) = λ_i·N_i(t) (decays per second
+    per initial nucleus) for every isotope in the chain of (z, n) — the
+    theory companion to :func:`SurvivalResult.activity`, resolved per
+    species instead of for the parent alone. Same ``{"times",
+    "populations"}`` shape as :func:`bateman_populations` (so
+    :func:`chain_populations_csv` exports it), with activities in the
+    value arrays."""
+    nodes, a = decay_chain_graph(z, n, max_nodes=max_nodes)
+    lam = {f"{zz}:{nn}": -a[j, j] for j, (zz, nn) in enumerate(nodes)}
+    pops = bateman_populations(z, n, times, max_nodes=max_nodes)
+    return {
+        "times": pops["times"],
+        "populations": {
+            k: lam[k] * np.asarray(v) for k, v in pops["populations"].items()
+        },
+    }
+
+
 def decay_rate_summary(result: SurvivalResult) -> dict:
     """Compact JSON-able summary of a survival run."""
     return {

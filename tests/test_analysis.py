@@ -176,3 +176,29 @@ def test_expm_taylor_fallback():
     np.testing.assert_allclose(
         _expm_taylor(m), scipy_linalg.expm(m), rtol=1e-9, atol=1e-9
     )
+
+
+def test_bateman_activity():
+    """Analytical activity: the single-species case equals the textbook
+    A(t) = lambda*exp(-lambda*t); at secular equilibrium every fast
+    daughter's activity approaches the parent's."""
+    from pyqmd_tpu.analysis import bateman_activity
+
+    # C-14: one-species chain.
+    lam = math.log(2) / (5730 * 31557600.0)
+    t = np.linspace(0.0, 3.0 / lam, 7)
+    act = bateman_activity(6, 8, t)
+    np.testing.assert_allclose(
+        act["populations"]["6:8"], lam * np.exp(-lam * t), rtol=1e-9
+    )
+    # Stable daughter N-14 has zero activity.
+    assert np.all(act["populations"]["7:7"] == 0.0)
+
+    # Pb-214 -> Bi-214 transient equilibrium: the activity ratio follows
+    # the exact closed form A2/A1 = l2/(l2-l1) * (1 - exp(-(l2-l1) t)).
+    l1, l2 = math.log(2) / 1608.0, math.log(2) / 1194.0
+    tt = np.array([6.0 * 1608.0])
+    a2 = bateman_activity(82, 132, tt)
+    ratio = float(a2["populations"]["83:131"][0] / a2["populations"]["82:132"][0])
+    expect = l2 / (l2 - l1) * (1.0 - math.exp(-(l2 - l1) * tt[0]))
+    assert abs(ratio - expect) < 1e-9 * expect
