@@ -124,7 +124,7 @@ def compute_forces(pos, ptype, alive, cfg: SimConfig):
     return force
 
 
-def force_step(pos, vel, ptype, alive, dt, cfg: SimConfig):
+def force_step(pos, vel, ptype, alive, dt, cfg: SimConfig, *, max_chunk=8192):
     """One fused force + integrate substep (nuclear_forces.py:156-171).
 
     Semi-implicit Euler: v += F*dt; v *= damping; x += v*dt.
@@ -137,18 +137,29 @@ def force_step(pos, vel, ptype, alive, dt, cfg: SimConfig):
         # Chunk very large batches with lax.map: the vmapped pairwise chain
         # materializes (B, P, P) intermediates in HBM (the Pallas backend
         # does not have this problem — it keeps pair blocks in VMEM).
-        max_chunk = 8192
         if b <= max_chunk:
             return f(pos, vel, ptype, alive)
+        # Pad the batch up to a chunk multiple with all-dead members instead
+        # of shrinking the chunk divisor — a prime batch (e.g. B=8209) would
+        # otherwise degrade to chunk=1, i.e. B sequential dispatches. Dead
+        # members pass through force_step unchanged (same padding discipline
+        # as _batched_overlap, core/step.py).
         chunk = max_chunk
-        while b % chunk:
-            chunk -= 1
-        n = b // chunk
+        pad = (-b) % chunk
+        if pad:
+            zpad = lambda x: jnp.concatenate(  # noqa: E731
+                [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)]
+            )
+            pos, vel, ptype, alive = map(zpad, (pos, vel, ptype, alive))
+        n = (b + pad) // chunk
         rs = lambda x: x.reshape(n, chunk, *x.shape[1:])  # noqa: E731
         out_p, out_v = jax.lax.map(
             lambda args: f(*args), (rs(pos), rs(vel), rs(ptype), rs(alive))
         )
-        return out_p.reshape(pos.shape), out_v.reshape(vel.shape)
+        return (
+            out_p.reshape(-1, *pos.shape[1:])[:b],
+            out_v.reshape(-1, *vel.shape[1:])[:b],
+        )
     if cfg.integrator == "leapfrog":
         return _leapfrog_step(pos, vel, ptype, alive, dt, cfg)
     if cfg.integrator != "euler":

@@ -219,3 +219,24 @@ def test_force_step_differentiable():
     e = jnp.zeros_like(st.pos).at[i, d].set(eps)
     fd = (loss(st.pos + e) - loss(st.pos - e)) / (2 * eps)
     assert abs(float(g[i, d]) - float(fd)) < 0.15 * abs(float(fd))
+
+
+def test_prime_batch_chunking_pads_not_degrades():
+    """A prime batch bigger than max_chunk must pad up to a chunk multiple
+    (dead members) instead of shrinking the divisor to 1 — B sequential
+    dispatches (VERDICT r3 weak #4). Results must match the unchunked vmap
+    on every real member."""
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)
+    key = jax.random.PRNGKey(7)
+    b, p = 13, 8  # prime batch, > max_chunk below
+    pos = jax.random.uniform(key, (b, p, 2), minval=390.0, maxval=410.0)
+    vel = jnp.zeros((b, p, 2))
+    ptype = jnp.tile(jnp.asarray([PROTON, NEUTRON] * 4, jnp.int32), (b, 1))
+    alive = jnp.ones((b, p), bool).at[:, 4:].set(False)
+    dt = cfg.effective_dt()
+
+    full_p, full_v = force_step(pos, vel, ptype, alive, dt, cfg)
+    chunk_p, chunk_v = force_step(pos, vel, ptype, alive, dt, cfg, max_chunk=4)
+    assert chunk_p.shape == pos.shape and chunk_v.shape == vel.shape
+    np.testing.assert_allclose(np.asarray(full_p), np.asarray(chunk_p), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(full_v), np.asarray(chunk_v), rtol=0, atol=1e-6)
