@@ -217,6 +217,15 @@ def decay_chain_graph(
     (infinite half-life or a NONE mode) have λ = 0. Branch probabilities
     are renormalized to sum to 1 over real decay modes (the predictor
     reports a lone branch as 0.9, mirroring the reference).
+
+    Accuracy note (ADVICE r3): for isotopes NOT in the half-life DB the
+    rate uses ``half_life_host``'s deterministic log-midpoint (u = 0.5) of
+    the estimator bucket, but the engine samples each nucleus's half-life
+    log-uniformly from that bucket — so theory curves built from this
+    matrix are exact on tabulated chain segments and only approximate on
+    predictor-estimated nodes (rare-branch sub-chains, ~2e-4 populations
+    in the natural series): E[exp(-λt)] under the sampled distribution
+    differs from exp(-λ_mid·t).
     """
     from pyqmd_tpu.data.chains import decay_branches
     from pyqmd_tpu.state import DECAY_NONE
@@ -293,6 +302,10 @@ def bateman_populations(
     near-equal decay constants. The reference has no analytical
     machinery at all; this is the validation companion the statistical
     workflow needs.
+
+    Exact only on tabulated chain segments: predictor-estimated nodes use
+    the estimator bucket's log-midpoint rate while the engine samples
+    log-uniformly per nucleus (see :func:`decay_chain_graph`).
     """
     try:
         from scipy.linalg import expm

@@ -77,7 +77,9 @@ def _resolve_once(pos, alive, u, cfg: SimConfig):
 
 
 def _use_pallas(pos, cfg: SimConfig) -> bool:
-    return cfg.force_backend == "pallas" and pos.shape[-2] % 128 == 0
+    # Any capacity works since r4: small nuclei pack G per 128-lane row,
+    # others pad (kernels/forces_pallas._packing).
+    return cfg.force_backend == "pallas"
 
 
 def resolve_overlaps(pos, alive, key, cfg: SimConfig):

@@ -29,12 +29,8 @@ def select_force_step(cfg: SimConfig):
     """Pick the force backend (reference GPU-or-CPU dispatch analog,
     nuclear_sim.py:169-173)."""
     if cfg.force_backend == "pallas":
-        if cfg.integrator != "euler":
-            raise ValueError(
-                "the pallas backend implements the reference euler "
-                "integrator only; use force_backend='jnp' with "
-                f"integrator={cfg.integrator!r}"
-            )
+        if cfg.integrator not in ("euler", "leapfrog"):
+            raise ValueError(f"unknown integrator {cfg.integrator!r}")
         from pyqmd_tpu.kernels.forces_pallas import force_step_pallas
 
         return force_step_pallas

@@ -5,28 +5,41 @@ component: the embedded OpenCL kernel ``update_forces_and_positions``
 (/root/reference/nuclear_forces.py:57-173). Same physics as
 :func:`pyqmd_tpu.core.forces.force_step` (the jnp oracle) — hard core,
 piecewise strong force, p-p Coulomb, same-type Pauli, per-pair clamp, CoM
-spring, semi-implicit Euler with 0.85 damping — but with the TPU-first
+spring, semi-implicit Euler with 0.85 damping (or the velocity-Verlet
+upgrade, matching ``core.forces._leapfrog_step``) — but with the TPU-first
 execution shape:
 
-  * grid over batch tiles (TILE_B nuclei per program), the ensemble being
+  * grid over batch tiles (TILE_B rows per program), the ensemble being
     the scale axis (SURVEY §2 P2: kernel tiling);
   * all state for a tile resident in VMEM; the (P, P) pair interaction is
-    computed per nucleus with VPU elementwise ops and accumulated with a
+    computed per row with VPU elementwise ops and accumulated with a
     negated sublane-axis reduction (g symmetric, dx antisymmetric), never
     spilling pair matrices to HBM;
+  * **small nuclei are packed**: when the particle capacity P is below the
+    128-lane width, G = 128 // P nuclei share one lane row with a static
+    block-diagonal pair mask and per-group (segment-summed) centers of
+    mass — so an He-4 ensemble fills all 128 lanes with 16 nuclei per row
+    instead of wasting 120 of them (or falling back to jnp, the r3
+    restriction);
+  * any capacity is accepted: P is padded up to the next divisor or
+    multiple of 128 with dead slots — there is no alignment restriction
+    on the caller;
   * center of mass and alive counts computed in-kernel (the reference
     computes the center on host each substep, nuclear_forces.py:206-208);
   * integration fused into the same kernel — one HBM read + one HBM write
-    of the state per substep, the speed-of-light minimum.
+    of the state per substep, the speed-of-light minimum. The leapfrog
+    integrator runs two fused force evaluations (kick-drift-kick) in the
+    same tile residency.
 
-The kernel works on any padded particle capacity that is a multiple of 128
-(lane width). Equivalence with the jnp path is pinned by
-tests/test_kernel.py in interpret mode and on real TPU.
+Equivalence with the jnp path is pinned by tests/test_kernel.py in
+interpret mode and on real TPU (bench.py kernel_max_abs_diff).
 """
 
 from __future__ import annotations
 
 import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.state import PROTON
 
-TILE_B = 8  # nuclei per program: matches the f32 (8, 128) sublane tile
+TILE_B = 8  # rows per program: matches the f32 (8, 128) sublane tile
+LANES = 128
+
 
 def _force_kernel(
     dt_ref,  # (1, 1) SMEM
@@ -45,7 +60,11 @@ def _force_kernel(
     ox_ref, oy_ref, ovx_ref, ovy_ref,  # outputs (TILE_B, P)
     *,
     cfg: SimConfig,
+    group: int = 1,
 ):
+    """``group`` nuclei share each lane row (1 = one nucleus per row).
+    For group > 1 the row is a single 128-lane tile holding ``group``
+    independent nuclei of 128//group slots each."""
     dt = dt_ref[0, 0]
     eps = cfg.epsilon
     s = cfg.strong_strength
@@ -61,9 +80,26 @@ def _force_kernel(
     # unit beats a ~10-op software pipeline; keep jnp.exp.
 
     p = px_ref.shape[1]
-    t_sz = 128  # pair-tile edge (lane width)
+    t_sz = LANES  # pair-tile edge (lane width)
     ntiles = p // t_sz
     eye = jnp.eye(t_sz, dtype=jnp.float32)
+    if group > 1:
+        # Static block-diagonal group membership: lane i belongs to nucleus
+        # i // (128 // group) of its row. gmask[i, j] = 1 iff same nucleus.
+        # Built from iotas (a captured host constant is not allowed in a
+        # pallas kernel body).
+        sub = t_sz // group
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (t_sz, t_sz), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (t_sz, t_sz), 1)
+        gmask = ((iota_r // sub) == (iota_c // sub)).astype(jnp.float32)
+        diag_pair_mask = gmask * (1.0 - eye)
+
+        def gsum(v):
+            """Per-lane sum over the lane's group (segment sum via one
+            (128, 128) broadcast + sublane reduction; gmask symmetric)."""
+            return jnp.sum(gmask * v[:, None], axis=0)
+    else:
+        diag_pair_mask = 1.0 - eye
 
     def pair_block(xi, yi, mi, ispi, xj, yj, mj, ispj, diagonal):
         """g*dx, g*dy for one (128, 128) tile pair: rows = i-tile,
@@ -73,7 +109,9 @@ def _force_kernel(
         dist2 = dx * dx + dy * dy
         pair = (mi[:, None] * mj[None, :]) * (dist2 >= 0.01).astype(jnp.float32)
         if diagonal:
-            pair = pair * (1.0 - eye)
+            # Self-pair exclusion; for packed rows also cross-nucleus
+            # exclusion (the block-diagonal group mask).
+            pair = pair * diag_pair_mask
         # One rsqrt yields both dist and 1/dist (saves the g = f/dist divide).
         inv_dist = jax.lax.rsqrt(jnp.maximum(dist2, 1e-12))
         dist = dist2 * inv_dist
@@ -103,103 +141,175 @@ def _force_kernel(
         return g * dx, g * dy
 
     for b in range(TILE_B):  # static unroll over the batch tile
-        x = px_ref[b, :]
-        y = py_ref[b, :]
         m = m_ref[b, :]
         isp = isp_ref[b, :]
-
-        count = jnp.sum(m)
-        safe = jnp.maximum(count, 1.0)
-        cx = jnp.sum(x * m) / safe
-        cy = jnp.sum(y * m) / safe
-
-        # Block-antisymmetric pair sweep: the pair force magnitude is
-        # symmetric and the offsets antisymmetric, so the lower-triangle
-        # tile blocks are the exact negated transposes of the upper ones —
-        # only ntiles*(ntiles+1)/2 of ntiles^2 blocks are computed (25%
-        # saved at P=256). Diagonal blocks reduce along sublanes (fast);
-        # each off-diagonal block pays one cross-lane reduction for its
-        # i-tile rows and reuses the sublane reduction for the j-tile.
-        xs = [x[t * t_sz:(t + 1) * t_sz] for t in range(ntiles)]
-        ys = [y[t * t_sz:(t + 1) * t_sz] for t in range(ntiles)]
         ms = [m[t * t_sz:(t + 1) * t_sz] for t in range(ntiles)]
         isps = [isp[t * t_sz:(t + 1) * t_sz] for t in range(ntiles)]
-        fx_t = [jnp.zeros((t_sz,), jnp.float32) for _ in range(ntiles)]
-        fy_t = [jnp.zeros((t_sz,), jnp.float32) for _ in range(ntiles)]
-        for ti in range(ntiles):
-            for tj in range(ti, ntiles):
-                mx, my = pair_block(
-                    xs[ti], ys[ti], ms[ti], isps[ti],
-                    xs[tj], ys[tj], ms[tj], isps[tj],
-                    diagonal=(ti == tj),
-                )
-                if ti == tj:
-                    fx_t[ti] = fx_t[ti] - jnp.sum(mx, axis=0)
-                    fy_t[ti] = fy_t[ti] - jnp.sum(my, axis=0)
-                else:
-                    fx_t[ti] = fx_t[ti] + jnp.sum(mx, axis=1)
-                    fy_t[ti] = fy_t[ti] + jnp.sum(my, axis=1)
-                    fx_t[tj] = fx_t[tj] - jnp.sum(mx, axis=0)
-                    fy_t[tj] = fy_t[tj] - jnp.sum(my, axis=0)
+
+        # Alive count (per nucleus) — position-independent, computed once.
+        if group > 1:
+            count = gsum(m)  # (128,) per-lane group count
+        else:
+            count = jnp.sum(m)
+        safe = jnp.maximum(count, 1.0)
         # Cube root via exp/log (safe >= 1): Mosaic has no powf lowering.
         nuclear_radius = 1.2 * jnp.exp(jnp.log(safe) / 3.0) * 2.0
 
-        # CoM spring + fused integrate, written back per tile (Mosaic cannot
-        # concatenate offset 1-D vectors; per-tile static slices avoid it).
-        for t in range(ntiles):
-            sl = slice(t * t_sz, (t + 1) * t_sz)
-            xt, yt, mt = xs[t], ys[t], ms[t]
-            # CoM containment spring (nuclear_forces.py:144-154).
-            cdx = cx - xt
-            cdy = cy - yt
-            cdist = jnp.sqrt(cdx * cdx + cdy * cdy)
-            active = ((cdist > nuclear_radius * 1.5) & (cdist > 0.01)).astype(
-                jnp.float32
-            )
-            mag = cfg.com_spring * (cdist - nuclear_radius)
-            scale = active * mag / jnp.maximum(cdist, 1e-9)
-            fx = (fx_t[t] + scale * cdx) * mt
-            fy = (fy_t[t] + scale * cdy) * mt
+        def eval_force(xs, ys):
+            """Total per-particle force (pair sweep + CoM spring, masked by
+            alive) for the row at positions xs/ys (lists of per-tile
+            vectors). The CoM is recomputed from xs/ys — matching
+            compute_forces, which leapfrog calls at two positions."""
+            # Center of mass of the current positions.
+            if group > 1:
+                cx = gsum(xs[0] * m) / safe
+                cy = gsum(ys[0] * m) / safe
+            else:
+                cx = sum(jnp.sum(xs[t] * ms[t]) for t in range(ntiles)) / safe
+                cy = sum(jnp.sum(ys[t] * ms[t]) for t in range(ntiles)) / safe
 
+            # Block-antisymmetric pair sweep: the pair force magnitude is
+            # symmetric and the offsets antisymmetric, so the lower-triangle
+            # tile blocks are the exact negated transposes of the upper ones —
+            # only ntiles*(ntiles+1)/2 of ntiles^2 blocks are computed (25%
+            # saved at P=256). Diagonal blocks reduce along sublanes (fast);
+            # each off-diagonal block pays one cross-lane reduction for its
+            # i-tile rows and reuses the sublane reduction for the j-tile.
+            fx_t = [jnp.zeros((t_sz,), jnp.float32) for _ in range(ntiles)]
+            fy_t = [jnp.zeros((t_sz,), jnp.float32) for _ in range(ntiles)]
+            for ti in range(ntiles):
+                for tj in range(ti, ntiles):
+                    mx, my = pair_block(
+                        xs[ti], ys[ti], ms[ti], isps[ti],
+                        xs[tj], ys[tj], ms[tj], isps[tj],
+                        diagonal=(ti == tj),
+                    )
+                    if ti == tj:
+                        fx_t[ti] = fx_t[ti] - jnp.sum(mx, axis=0)
+                        fy_t[ti] = fy_t[ti] - jnp.sum(my, axis=0)
+                    else:
+                        fx_t[ti] = fx_t[ti] + jnp.sum(mx, axis=1)
+                        fy_t[ti] = fy_t[ti] + jnp.sum(my, axis=1)
+                        fx_t[tj] = fx_t[tj] - jnp.sum(mx, axis=0)
+                        fy_t[tj] = fy_t[tj] - jnp.sum(my, axis=0)
+
+            # CoM containment spring (nuclear_forces.py:144-154), masked by
+            # the alive mask (compute_forces applies * m to the spring).
+            for t in range(ntiles):
+                cdx = cx - xs[t]
+                cdy = cy - ys[t]
+                cdist = jnp.sqrt(cdx * cdx + cdy * cdy)
+                active = ((cdist > nuclear_radius * 1.5) & (cdist > 0.01)).astype(
+                    jnp.float32
+                )
+                mag = cfg.com_spring * (cdist - nuclear_radius)
+                scale = active * mag / jnp.maximum(cdist, 1e-9)
+                fx_t[t] = (fx_t[t] + scale * cdx) * ms[t]
+                fy_t[t] = (fy_t[t] + scale * cdy) * ms[t]
+            return fx_t, fy_t
+
+        xs = [px_ref[b, t * t_sz:(t + 1) * t_sz] for t in range(ntiles)]
+        ys = [py_ref[b, t * t_sz:(t + 1) * t_sz] for t in range(ntiles)]
+        vxs = [vx_ref[b, t * t_sz:(t + 1) * t_sz] for t in range(ntiles)]
+        vys = [vy_ref[b, t * t_sz:(t + 1) * t_sz] for t in range(ntiles)]
+
+        if cfg.integrator == "leapfrog":
+            # Velocity-Verlet (kick-drift-kick), two fused force sweeps —
+            # core.forces._leapfrog_step semantics, same tile residency.
+            f1x, f1y = eval_force(xs, ys)
+            vhx = [vxs[t] + f1x[t] * (0.5 * dt) for t in range(ntiles)]
+            vhy = [vys[t] + f1y[t] * (0.5 * dt) for t in range(ntiles)]
+            x2 = [xs[t] + vhx[t] * dt for t in range(ntiles)]
+            y2 = [ys[t] + vhy[t] * dt for t in range(ntiles)]
+            f2x, f2y = eval_force(x2, y2)
+            for t in range(ntiles):
+                sl = slice(t * t_sz, (t + 1) * t_sz)
+                mt = ms[t]
+                nvx = (vhx[t] + f2x[t] * (0.5 * dt)) * cfg.damping
+                nvy = (vhy[t] + f2y[t] * (0.5 * dt)) * cfg.damping
+                ovx_ref[b, sl] = jnp.where(mt > 0, nvx, vxs[t])
+                ovy_ref[b, sl] = jnp.where(mt > 0, nvy, vys[t])
+                ox_ref[b, sl] = jnp.where(mt > 0, x2[t], xs[t])
+                oy_ref[b, sl] = jnp.where(mt > 0, y2[t], ys[t])
+        else:
             # Fused semi-implicit Euler + damping (nuclear_forces.py:156-171).
-            vx = (vx_ref[b, sl] + fx * dt) * cfg.damping
-            vy = (vy_ref[b, sl] + fy * dt) * cfg.damping
-            ovx_ref[b, sl] = jnp.where(mt > 0, vx, vx_ref[b, sl])
-            ovy_ref[b, sl] = jnp.where(mt > 0, vy, vy_ref[b, sl])
-            ox_ref[b, sl] = jnp.where(mt > 0, xt + vx * dt, xt)
-            oy_ref[b, sl] = jnp.where(mt > 0, yt + vy * dt, yt)
+            fx_t, fy_t = eval_force(xs, ys)
+            for t in range(ntiles):
+                sl = slice(t * t_sz, (t + 1) * t_sz)
+                mt = ms[t]
+                vx = (vxs[t] + fx_t[t] * dt) * cfg.damping
+                vy = (vys[t] + fy_t[t] * dt) * cfg.damping
+                ovx_ref[b, sl] = jnp.where(mt > 0, vx, vxs[t])
+                ovy_ref[b, sl] = jnp.where(mt > 0, vy, vys[t])
+                ox_ref[b, sl] = jnp.where(mt > 0, xs[t] + vx * dt, xs[t])
+                oy_ref[b, sl] = jnp.where(mt > 0, ys[t] + vy * dt, ys[t])
+
+
+def _packing(p: int) -> tuple[int, int]:
+    """(padded capacity P', nuclei per lane row G) for particle capacity p.
+
+    P' is the next divisor of 128 at or above p (small nuclei: G = 128//P'
+    share a row) or the next multiple of 128 (large nuclei: G = 1, the row
+    spans P'//128 tiles). Dead-slot padding makes both exact.
+    """
+    if p >= LANES:
+        return ((p + LANES - 1) // LANES) * LANES, 1
+    sub = 1
+    while sub < p:
+        sub *= 2
+    return sub, LANES // sub
 
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "interpret")
 )
 def _force_step_batched(pos, vel, ptype, alive, dt, cfg: SimConfig, interpret=False):
-    """Fused kernel over a batch: pos/vel (B, P, 2), ptype/alive (B, P)."""
+    """Fused kernel over a batch: pos/vel (B, P, 2), ptype/alive (B, P).
+
+    Any P is accepted: capacities below 128 lanes are packed G nuclei per
+    row (G = 128 // next_pow2(P)); capacities above are padded to a lane
+    multiple. The r3 ``P % 128 == 0`` restriction is gone.
+    """
     b, p = ptype.shape
-    if p % 128 != 0:
-        raise ValueError(f"pallas backend needs P % 128 == 0, got {p}")
-    pad_b = (-b) % TILE_B
+    p_sub, group = _packing(p)
+
+    pad_p = p_sub - p
+    if pad_p:
+        pos = jnp.pad(pos, ((0, 0), (0, pad_p), (0, 0)))
+        vel = jnp.pad(vel, ((0, 0), (0, pad_p), (0, 0)))
+        ptype = jnp.pad(ptype, ((0, 0), (0, pad_p)))
+        alive = jnp.pad(alive, ((0, 0), (0, pad_p)))
+
+    # Pack G nuclei per 128-lane row (C-order reshape keeps each nucleus's
+    # slots contiguous, matching the kernel's static group mask).
+    row_quota = group * TILE_B  # nuclei consumed per grid program
+    pad_b = (-b) % row_quota
     if pad_b:
         pos = jnp.pad(pos, ((0, pad_b), (0, 0), (0, 0)))
         vel = jnp.pad(vel, ((0, pad_b), (0, 0), (0, 0)))
         ptype = jnp.pad(ptype, ((0, pad_b), (0, 0)))
         alive = jnp.pad(alive, ((0, pad_b), (0, 0)))
     bb = b + pad_b
+    rows = bb // group
+    row_p = p_sub * group  # lane width of one row (= 128 when packed)
 
-    px, py = pos[..., 0], pos[..., 1]
-    vx, vy = vel[..., 0], vel[..., 1]
-    isp = ((ptype == PROTON) & alive).astype(jnp.float32)
-    m = alive.astype(jnp.float32)
+    px = pos[..., 0].reshape(rows, row_p)
+    py = pos[..., 1].reshape(rows, row_p)
+    vx = vel[..., 0].reshape(rows, row_p)
+    vy = vel[..., 1].reshape(rows, row_p)
+    isp = ((ptype == PROTON) & alive).astype(jnp.float32).reshape(rows, row_p)
+    m = alive.astype(jnp.float32).reshape(rows, row_p)
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
 
-    grid = (bb // TILE_B,)
-    vspec = pl.BlockSpec((TILE_B, p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    grid = (rows // TILE_B,)
+    vspec = pl.BlockSpec((TILE_B, row_p), lambda i: (i, 0), memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    out_shape = [jax.ShapeDtypeStruct((bb, p), jnp.float32)] * 4
+    out_shape = [jax.ShapeDtypeStruct((rows, row_p), jnp.float32)] * 4
 
-    flops_per = 2 * p * p * 40  # rough: ~40 ops per pair interaction
+    sweeps = 2 if cfg.integrator == "leapfrog" else 1
+    flops_per = 2 * row_p * row_p * 40 * sweeps  # ~40 ops per pair interaction
     ox, oy, ovx, ovy = pl.pallas_call(
-        functools.partial(_force_kernel, cfg=cfg),
+        functools.partial(_force_kernel, cfg=cfg, group=group),
         grid=grid,
         in_specs=[sspec] + [vspec] * 6,
         out_specs=[vspec] * 4,
@@ -207,13 +317,14 @@ def _force_step_batched(pos, vel, ptype, alive, dt, cfg: SimConfig, interpret=Fa
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops_per * TILE_B,
-            bytes_accessed=10 * TILE_B * p * 4,
-            transcendentals=3 * TILE_B * p * p,
+            bytes_accessed=10 * TILE_B * row_p * 4,
+            transcendentals=3 * TILE_B * row_p * row_p * sweeps,
         ),
     )(dt_arr, px, py, vx, vy, isp, m)
 
-    new_pos = jnp.stack([ox, oy], axis=-1)[:b]
-    new_vel = jnp.stack([ovx, ovy], axis=-1)[:b]
+    unpack = lambda a: a.reshape(bb, p_sub)[:b, :p]  # noqa: E731
+    new_pos = jnp.stack([unpack(ox), unpack(oy)], axis=-1)
+    new_vel = jnp.stack([unpack(ovx), unpack(ovy)], axis=-1)
     return new_pos, new_vel
 
 

