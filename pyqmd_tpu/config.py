@@ -86,7 +86,8 @@ class SimConfig:
     # Integrator: "euler" reproduces the reference's semi-implicit Euler
     # (nuclear_forces.py:156-171); "leapfrog" is the flagged
     # velocity-Verlet upgrade (SURVEY §7 step 2) — second-order accurate,
-    # two force evaluations per step, jnp backend only.
+    # two force evaluations per step, on either backend (the Pallas kernel
+    # runs kick-drift-kick as two fused sweeps since r4).
     integrator: str = "euler"
 
     # Overlap resolution (nuclear_sim.py:355-379).

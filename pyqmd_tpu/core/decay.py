@@ -141,6 +141,7 @@ def _apply_decay_from_draws(
     did: jax.Array,
     dyn: FrameDynamics,
     row_tables: bool = False,
+    stats_only: bool = False,
 ) -> tuple[NucleusState, jax.Array]:
     """:func:`apply_decay` body over pre-drawn uniforms.
 
@@ -149,6 +150,14 @@ def _apply_decay_from_draws(
     separate draws of the original formulation. At batch=1 the decay path
     is RNG-latency-bound, so this is the difference between ~77 and ~47 µs
     per substep (docs/PERFORMANCE.md).
+
+    ``stats_only`` (the decay-only statistics frame) skips the ejecta-ring
+    writes and the decay velocity damping — 2·k_e·6 masked whole-(E,)
+    selects per substep that only matter for rendering. Positions,
+    velocities and ejecta are documented-stale in that frame; the uniform
+    vector is still drawn and consumed identically, so the isotope
+    trajectories (z, n, half_life, decay_counts, chain log, RNG stream)
+    stay bitwise identical to the full-physics frame.
     """
     k_e = cfg.max_ejecta_per_event
     u_branch, u_dur, u_hl, u_nfrag = u[0], u[1], u[2], u[3]
@@ -202,51 +211,59 @@ def _apply_decay_from_draws(
     new_ptype = jnp.where(flip_to_p, PROTON, state.ptype)
     new_ptype = jnp.where(flip_to_n, NEUTRON, new_ptype)
 
-    damp = eff & jnp.asarray(_APPLIES_DAMPING)[dtype]
-    new_vel = jnp.where(damp, state.vel * cfg.decay_damping, state.vel)
+    if stats_only:
+        new_vel = state.vel
+    else:
+        damp = eff & jnp.asarray(_APPLIES_DAMPING)[dtype]
+        new_vel = jnp.where(damp, state.vel * cfg.decay_damping, state.vel)
 
-    # --- ejecta spawn at the post-adjustment center of mass
-    # (nuclear_sim.py:290-294 updates CoM before creating products).
-    w = new_alive.astype(jnp.float32)
-    cnt = jnp.maximum(jnp.sum(w), 1.0)
-    com = jnp.sum(state.pos * w[:, None], axis=0) / cnt
+        # --- ejecta spawn at the post-adjustment center of mass
+        # (nuclear_sim.py:290-294 updates CoM before creating products).
+        w = new_alive.astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(w), 1.0)
+        com = jnp.sum(state.pos * w[:, None], axis=0) / cnt
 
-    is_fission = dtype == DECAY_SPONTANEOUS_FISSION
-    # randint(2, 3) inclusive (decay_chains.py:377).
-    nfrag_fission = 2 + (u_nfrag < 0.5).astype(jnp.int32)
-    nfrag = jnp.where(is_fission, nfrag_fission, 1)
-    frag_idx = jnp.arange(k_e)
-    frag_active = eff & (frag_idx < nfrag)
+        is_fission = dtype == DECAY_SPONTANEOUS_FISSION
+        # randint(2, 3) inclusive (decay_chains.py:377).
+        nfrag_fission = 2 + (u_nfrag < 0.5).astype(jnp.int32)
+        nfrag = jnp.where(is_fission, nfrag_fission, 1)
+        frag_idx = jnp.arange(k_e)
+        frag_active = eff & (frag_idx < nfrag)
 
-    # Fragment types: fixed per decay mode; fission fragments are alpha with
-    # p=0.7 else neutron (decay_chains.py:383-388).
-    fission_type = jnp.where(u_ftype < 0.7, ALPHA, NEUTRON)
-    frag_type = jnp.where(is_fission, fission_type, jnp.asarray(_DECAY_EJECTA_TYPE)[dtype])
+        # Fragment types: fixed per decay mode; fission fragments are alpha
+        # with p=0.7 else neutron (decay_chains.py:383-388).
+        fission_type = jnp.where(u_ftype < 0.7, ALPHA, NEUTRON)
+        frag_type = jnp.where(
+            is_fission, fission_type, jnp.asarray(_DECAY_EJECTA_TYPE)[dtype]
+        )
 
-    # Velocity: random angle, renormalized to the per-type base speed —
-    # the reference normalizes each creator velocity to a fixed base speed
-    # (nuclear_sim.py:296-313), so only the random direction survives.
-    angles = u_ang * (2.0 * jnp.pi)
-    speed = jnp.asarray(EJECTA_SPEEDS)[frag_type]
-    frag_vel = speed[:, None] * jnp.stack([jnp.cos(angles), jnp.sin(angles)], -1)
-    frag_life = ejecta_lifetime(frag_type, dyn, cfg)
+        # Velocity: random angle, renormalized to the per-type base speed —
+        # the reference normalizes each creator velocity to a fixed base
+        # speed (nuclear_sim.py:296-313), so only the random direction
+        # survives.
+        angles = u_ang * (2.0 * jnp.pi)
+        speed = jnp.asarray(EJECTA_SPEEDS)[frag_type]
+        frag_vel = speed[:, None] * jnp.stack(
+            [jnp.cos(angles), jnp.sin(angles)], -1
+        )
+        frag_life = ejecta_lifetime(frag_type, dyn, cfg)
 
-    # Ejecta-ring write, also scatter-free: ring slot s receives fragment k
-    # iff (s - cursor) mod E == k. k_e is a small static constant, so the
-    # update unrolls to k_e whole-(E,) masked selects — no gather, no
-    # scatter, pure elementwise VPU work.
-    e_cap = cfg.max_ejecta
-    rel = (jnp.arange(e_cap) - state.ej_cursor) % e_cap
+        # Ejecta-ring write, also scatter-free: ring slot s receives
+        # fragment k iff (s - cursor) mod E == k. k_e is a small static
+        # constant, so the update unrolls to k_e whole-(E,) masked selects
+        # — no gather, no scatter, pure elementwise VPU work.
+        e_cap = cfg.max_ejecta
+        rel = (jnp.arange(e_cap) - state.ej_cursor) % e_cap
 
-    def ej_set(arr, value):
-        shaped = jnp.broadcast_to(value, (k_e,) + arr.shape[1:])
-        out = arr
-        for k in range(k_e):
-            mask = (rel == k) & frag_active[k]
-            if arr.ndim > 1:
-                mask = mask[:, None]
-            out = jnp.where(mask, shaped[k], out)
-        return out
+        def ej_set(arr, value):
+            shaped = jnp.broadcast_to(value, (k_e,) + arr.shape[1:])
+            out = arr
+            for k in range(k_e):
+                mask = (rel == k) & frag_active[k]
+                if arr.ndim > 1:
+                    mask = mask[:, None]
+                out = jnp.where(mask, shaped[k], out)
+            return out
 
     # --- daughter identity + half-life + metrics.
     z2 = jnp.where(eff, new_z, state.z).astype(jnp.int32)
@@ -259,6 +276,18 @@ def _apply_decay_from_draws(
         hl
     )
 
+    if stats_only:
+        ej_updates = {}
+    else:
+        ej_updates = dict(
+            ej_pos=ej_set(state.ej_pos, com[None, :]),
+            ej_vel=ej_set(state.ej_vel, frag_vel),
+            ej_type=ej_set(state.ej_type, frag_type),
+            ej_age=ej_set(state.ej_age, jnp.zeros((k_e,), jnp.float32)),
+            ej_life=ej_set(state.ej_life, frag_life),
+            ej_alive=ej_set(state.ej_alive, jnp.ones((k_e,), bool)),
+            ej_cursor=state.ej_cursor + jnp.sum(frag_active.astype(jnp.int32)),
+        )
     new_state = state.replace(
         vel=new_vel,
         ptype=new_ptype,
@@ -266,13 +295,7 @@ def _apply_decay_from_draws(
         z=z2,
         n=n2,
         half_life=hl2,
-        ej_pos=ej_set(state.ej_pos, com[None, :]),
-        ej_vel=ej_set(state.ej_vel, frag_vel),
-        ej_type=ej_set(state.ej_type, frag_type),
-        ej_age=ej_set(state.ej_age, jnp.zeros((k_e,), jnp.float32)),
-        ej_life=ej_set(state.ej_life, frag_life),
-        ej_alive=ej_set(state.ej_alive, jnp.ones((k_e,), bool)),
-        ej_cursor=state.ej_cursor + jnp.sum(frag_active.astype(jnp.int32)),
+        **ej_updates,
         decay_counts=jnp.where(
             jnp.arange(state.decay_counts.shape[0]) == dtype,
             state.decay_counts + effi,
@@ -296,17 +319,22 @@ def maybe_decay(
     key: jax.Array,
     dyn: FrameDynamics,
     row_tables: bool = False,
+    stats_only: bool = False,
 ) -> tuple[NucleusState, jax.Array]:
     """Bernoulli decay check for one substep (nuclear_sim.py:164-167).
 
     The whole substep draws ONE uniform vector (Bernoulli draw + every
     event draw) from the substep key — a single threefry block.
-    ``row_tables`` selects the batched-frame table-gather form (see
-    :func:`_apply_decay_from_draws`); results are bitwise identical."""
+    ``row_tables`` selects the batched-frame table-gather form and
+    ``stats_only`` the ejecta-free statistics form (see
+    :func:`_apply_decay_from_draws`); isotope trajectories are bitwise
+    identical either way."""
     u = jax.random.uniform(key, (1 + _decay_draw_count(cfg),))
     p = decay_probability(state.half_life, dyn.step_time)
     did = u[0] < p
-    return _apply_decay_from_draws(state, cfg, u[1:], did, dyn, row_tables)
+    return _apply_decay_from_draws(
+        state, cfg, u[1:], did, dyn, row_tables, stats_only
+    )
 
 
 def force_decay(

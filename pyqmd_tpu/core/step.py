@@ -330,7 +330,9 @@ def decay_ensemble_step(
     unused), so the isotope trajectories — z, n, half_life, decay_counts
     and the chain log — are **bitwise identical** to the full-physics
     frame (pinned by tests/test_batch_native.py); only positions,
-    velocities and ejecta go stale. O(B·P) per substep instead of
+    velocities and ejecta go stale (the ejecta-ring writes and the decay
+    velocity damping are skipped outright via ``stats_only`` — they were
+    most of the decay pass's HBM traffic). O(B·P) per substep instead of
     O(B·P²): the statistics workflows (`analysis.survival_curve`,
     `analysis.chain_populations`) run orders of magnitude faster for
     heavy isotopes.
@@ -360,7 +362,9 @@ def decay_ensemble_step(
 
     def body(st, keys):
         st = jax.vmap(
-            lambda s, k: maybe_decay(s, cfg, k, dyn, row_tables=True)[0]
+            lambda s, k: maybe_decay(
+                s, cfg, k, dyn, row_tables=True, stats_only=True
+            )[0]
         )(st, keys)
         return st, None
 
