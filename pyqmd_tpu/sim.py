@@ -640,30 +640,27 @@ class Simulation:
         """Terminal view: the interactive-display analog for the REPL.
         Protons 'o', neutrons '.', ejecta by type letter. Fits the view to
         the nucleus (unlike render(), which uses the interactive camera)."""
-        img = self._render_fit(width, height, index)
-        # Classify by dominant channel of the rasterized pixel.
-        chars = []
-        for row in img[::1]:
-            line = []
-            for r, g, b in row.astype(int):
-                if r == g == b == 0:
-                    line.append(" ")
-                elif r > 200 and g < 180 and b < 180:
-                    line.append("o")  # proton reds
-                elif b > 200 and r < 180:
-                    line.append(".")  # neutron blues
-                elif r > 150 and g > 150 and b < 100:
-                    line.append("a")  # alpha yellow
-                elif g > 150 and r < 100 and b > 150:
-                    line.append("e")  # electron cyan
-                elif g > 150 and r < 100:
-                    line.append("y")  # gamma green
-                elif r > 150 and b > 150:
-                    line.append("p")  # positron magenta
-                else:
-                    line.append("#")
-            chars.append("".join(line))
-        return "\n".join(chars)
+        img = self._render_fit(width, height, index).astype(np.int32)
+        # Classify by dominant channel of the rasterized pixel — one
+        # vectorized np.select instead of a per-pixel Python loop (the loop
+        # was ~5 ms per 72x30 view and scaled with the viewport).
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        classes = np.select(
+            [
+                (r == 0) & (g == 0) & (b == 0),
+                (r > 200) & (g < 180) & (b < 180),  # proton reds
+                (b > 200) & (r < 180),              # neutron blues
+                (r > 150) & (g > 150) & (b < 100),  # alpha yellow
+                (g > 150) & (r < 100) & (b > 150),  # electron cyan
+                (g > 150) & (r < 100),              # gamma green
+                (r > 150) & (b > 150),              # positron magenta
+            ],
+            np.arange(7, dtype=np.uint8),
+            default=7,
+        )
+        glyphs = np.frombuffer(b" o.aeyp#", dtype=np.uint8)
+        rows = glyphs[classes]
+        return "\n".join(bytes(row).decode("ascii") for row in rows)
 
     def save(self, path: str):
         save_checkpoint(path, self.state, self.cfg)

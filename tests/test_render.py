@@ -611,3 +611,34 @@ def test_gif_lzw_strict_decoder_fuzz():
     assert strict_decode(_lzw_true(big, 8), big.size) == big.tobytes()
     runs = np.repeat(np.arange(64, dtype=np.uint8), 137)[: 64 * 64].reshape(64, 64)
     assert strict_decode(_lzw_true(runs, 6), runs.size) == runs.tobytes()
+
+
+def test_gif_lzw_run_coalesced_bitwise_matches_reference():
+    """The run-coalesced _lzw_true must produce the bitwise-identical code
+    stream of the textbook per-pixel loop (_lzw_true_ref) — runs, mixed
+    regions, table resets, every min-code-size."""
+    from pyqmd_tpu.render.gif import _lzw_true, _lzw_true_ref
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for trial in range(120):
+        h = int(rng.integers(1, 24))
+        w = int(rng.integers(1, 24))
+        ncol = int(rng.integers(2, 257))
+        # Mix run-heavy and noisy frames.
+        if trial % 2:
+            base = rng.integers(0, ncol, (h, w)).astype(np.uint8)
+        else:
+            base = np.repeat(
+                rng.integers(0, ncol, h * w // 5 + 1), 5
+            )[: h * w].astype(np.uint8).reshape(h, w)
+        cases.append((base, max(2, int(np.ceil(np.log2(max(ncol, 2)))))))
+    # Table-reset regime: big noisy + long-run frames.
+    cases.append((rng.integers(0, 256, (150, 200)).astype(np.uint8), 8))
+    cases.append(
+        (np.repeat(np.arange(16, dtype=np.uint8), 5000).reshape(200, 400), 4)
+    )
+    cases.append((np.zeros((80, 80), np.uint8), 2))  # single giant run
+    cases.append((np.zeros((0,), np.uint8), 2))  # empty
+    for idx, mcs in cases:
+        assert _lzw_true(idx, mcs) == _lzw_true_ref(idx, mcs)
