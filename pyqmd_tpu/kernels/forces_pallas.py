@@ -53,6 +53,165 @@ TILE_B = 8  # rows per program: matches the f32 (8, 128) sublane tile
 LANES = 128
 
 
+def _pair_force(dist, dist2, pp, same, cfg: SimConfig, recip):
+    """Clamped net pair-force magnitude — the full reference pair chain
+    (nuclear_forces.py:100-137), elementwise on any shape. ``pp``/``same``
+    are float indicators."""
+    s = cfg.strong_strength
+    eps = cfg.epsilon
+    min_allowed = cfg.nucleon_radius * cfg.hard_core_scale
+
+    overlap = jnp.maximum(min_allowed - dist, 0.0) / min_allowed
+    f = -cfg.hard_core_strength * overlap * jnp.sqrt(overlap)  # x**1.5
+
+    # Single-exp piecewise strong force (same trick as the jnp oracle).
+    inv_d2e = recip(dist2 + eps)
+    inv_de = recip(dist + eps)
+    r_ratio = dist / cfg.strong_range
+    in_attract = dist < cfg.strong_attract_cut
+    amp = jnp.where(in_attract, 1.25 * s, 0.15 * s)
+    k = jnp.where(in_attract, 1.0, 1.8)
+    outer = amp * jnp.exp(-r_ratio * k) * inv_de
+    core = -0.7 * s * inv_d2e
+    f = f + jnp.where(dist < cfg.strong_core_cut, core, outer)
+
+    f = f - pp * (cfg.coulomb_strength * inv_d2e)
+
+    pauli = cfg.pauli_strength * jnp.exp(-dist / cfg.pauli_range * 2.0)
+    f = f - jnp.where(dist < cfg.pauli_range, same * pauli, 0.0)
+
+    return jnp.clip(f, -cfg.max_pair_force, cfg.max_pair_force)
+
+
+def _recip_fn(cfg: SimConfig):
+    if cfg.fast_math:
+        # -cl-fast-relaxed-math analog (nuclear_forces.py:175).
+        return lambda x: pl.reciprocal(x, approx=True)
+    return lambda x: 1.0 / x
+    # Note: a polynomial exp2 replacement was measured SLOWER than the
+    # hardware exp (733 vs 587 ms/frame at 10k) — the VPU transcendental
+    # unit beats a ~10-op software pipeline; keep jnp.exp.
+
+
+def _force_kernel_packed(
+    dt_ref,  # (1, 1) SMEM
+    px_ref, py_ref, vx_ref, vy_ref,  # (TILE_B, 128) VMEM f32
+    isp_ref, m_ref,  # (TILE_B, 128) VMEM f32
+    ox_ref, oy_ref, ovx_ref, ovy_ref,  # outputs (TILE_B, 128)
+    *,
+    cfg: SimConfig,
+    group: int,
+):
+    """Packed small-nucleus kernel: ``group`` nuclei of ``sub = 128//group``
+    slots share each 128-lane row.
+
+    Instead of a (128, 128) block-diagonal pair matrix (6.25% lane
+    utilization at sub=8 — measured 528 µs/substep for He-4 b10240), the
+    partner at *group-local offset d* is materialized for every lane at
+    once with two lane-rolls + a select, so the pair sweep is ``sub - 1``
+    elementwise passes over the whole (TILE_B, 128) tile and the
+    per-group center-of-mass sums accumulate in the same loop. ~16x less
+    arithmetic, no cross-lane reductions at all.
+    """
+    dt = dt_ref[0, 0]
+    sub = LANES // group
+    recip = _recip_fn(cfg)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (px_ref.shape[0], LANES), 1)
+    slot = lane % sub  # group-local index of each lane
+
+    def eval_force(x, y, m, isp):
+        """Pair sweep + per-group CoM spring, masked by alive. All
+        operands (TILE_B, 128)."""
+        fx = jnp.zeros_like(x)
+        fy = jnp.zeros_like(x)
+        cnt = m
+        sx = x * m
+        sy = y * m
+        for d in range(1, sub):
+            # Partner of lane i at offset d inside its group:
+            # j = group_base + (slot + d) % sub. Lanes with slot + d < sub
+            # read the full-vector roll by -d, the wrap-around lanes the
+            # roll by sub - d.
+            wrap = slot >= (sub - d)
+
+            def partner(v):
+                a = pltpu.roll(v, LANES - d, 1)  # roll left by d
+                b = pltpu.roll(v, sub - d, 1)  # roll right by sub - d
+                return jnp.where(wrap, b, a)
+
+            jx = partner(x)
+            jy = partner(y)
+            jm = partner(m)
+            jisp = partner(isp)
+
+            dx = jx - x
+            dy = jy - y
+            dist2 = dx * dx + dy * dy
+            pair = (m * jm) * (dist2 >= 0.01).astype(jnp.float32)
+            inv_dist = jax.lax.rsqrt(jnp.maximum(dist2, 1e-12))
+            dist = dist2 * inv_dist
+
+            f = _pair_force(
+                dist, dist2, isp * jisp, 1.0 - jnp.abs(isp - jisp), cfg, recip
+            )
+            g = pair * f * inv_dist
+            fx = fx + g * dx
+            fy = fy + g * dy
+            # Per-group CoM sums ride the same partner pass.
+            cnt = cnt + jm
+            sx = sx + jx * jm
+            sy = sy + jy * jm
+
+        safe = jnp.maximum(cnt, 1.0)
+        cx = sx / safe
+        cy = sy / safe
+        # Cube root via exp/log (safe >= 1): Mosaic has no powf lowering.
+        nuclear_radius = 1.2 * jnp.exp(jnp.log(safe) / 3.0) * 2.0
+
+        # CoM containment spring (nuclear_forces.py:144-154).
+        cdx = cx - x
+        cdy = cy - y
+        cdist = jnp.sqrt(cdx * cdx + cdy * cdy)
+        active = ((cdist > nuclear_radius * 1.5) & (cdist > 0.01)).astype(
+            jnp.float32
+        )
+        mag = cfg.com_spring * (cdist - nuclear_radius)
+        scale = active * mag / jnp.maximum(cdist, 1e-9)
+        return (fx + scale * cdx) * m, (fy + scale * cdy) * m
+
+    x = px_ref[...]
+    y = py_ref[...]
+    vx = vx_ref[...]
+    vy = vy_ref[...]
+    m = m_ref[...]
+    isp = isp_ref[...]
+
+    if cfg.integrator == "leapfrog":
+        # Velocity-Verlet (kick-drift-kick), two fused partner sweeps.
+        f1x, f1y = eval_force(x, y, m, isp)
+        vhx = vx + f1x * (0.5 * dt)
+        vhy = vy + f1y * (0.5 * dt)
+        x2 = x + vhx * dt
+        y2 = y + vhy * dt
+        f2x, f2y = eval_force(x2, y2, m, isp)
+        nvx = (vhx + f2x * (0.5 * dt)) * cfg.damping
+        nvy = (vhy + f2y * (0.5 * dt)) * cfg.damping
+        ovx_ref[...] = jnp.where(m > 0, nvx, vx)
+        ovy_ref[...] = jnp.where(m > 0, nvy, vy)
+        ox_ref[...] = jnp.where(m > 0, x2, x)
+        oy_ref[...] = jnp.where(m > 0, y2, y)
+    else:
+        # Fused semi-implicit Euler + damping (nuclear_forces.py:156-171).
+        fx, fy = eval_force(x, y, m, isp)
+        nvx = (vx + fx * dt) * cfg.damping
+        nvy = (vy + fy * dt) * cfg.damping
+        ovx_ref[...] = jnp.where(m > 0, nvx, vx)
+        ovy_ref[...] = jnp.where(m > 0, nvy, vy)
+        ox_ref[...] = jnp.where(m > 0, x + nvx * dt, x)
+        oy_ref[...] = jnp.where(m > 0, y + nvy * dt, y)
+
+
 def _force_kernel(
     dt_ref,  # (1, 1) SMEM
     px_ref, py_ref, vx_ref, vy_ref,  # (TILE_B, P) VMEM f32
@@ -60,46 +219,19 @@ def _force_kernel(
     ox_ref, oy_ref, ovx_ref, ovy_ref,  # outputs (TILE_B, P)
     *,
     cfg: SimConfig,
-    group: int = 1,
 ):
-    """``group`` nuclei share each lane row (1 = one nucleus per row).
-    For group > 1 the row is a single 128-lane tile holding ``group``
-    independent nuclei of 128//group slots each."""
+    """One nucleus per lane row; the row spans P//128 pair tiles."""
     dt = dt_ref[0, 0]
     eps = cfg.epsilon
     s = cfg.strong_strength
     min_allowed = cfg.nucleon_radius * cfg.hard_core_scale
-
-    if cfg.fast_math:
-        # -cl-fast-relaxed-math analog (nuclear_forces.py:175).
-        recip = lambda x: pl.reciprocal(x, approx=True)  # noqa: E731
-    else:
-        recip = lambda x: 1.0 / x  # noqa: E731
-    # Note: a polynomial exp2 replacement was measured SLOWER than the
-    # hardware exp (733 vs 587 ms/frame at 10k) — the VPU transcendental
-    # unit beats a ~10-op software pipeline; keep jnp.exp.
+    recip = _recip_fn(cfg)
 
     p = px_ref.shape[1]
     t_sz = LANES  # pair-tile edge (lane width)
     ntiles = p // t_sz
     eye = jnp.eye(t_sz, dtype=jnp.float32)
-    if group > 1:
-        # Static block-diagonal group membership: lane i belongs to nucleus
-        # i // (128 // group) of its row. gmask[i, j] = 1 iff same nucleus.
-        # Built from iotas (a captured host constant is not allowed in a
-        # pallas kernel body).
-        sub = t_sz // group
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (t_sz, t_sz), 0)
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (t_sz, t_sz), 1)
-        gmask = ((iota_r // sub) == (iota_c // sub)).astype(jnp.float32)
-        diag_pair_mask = gmask * (1.0 - eye)
-
-        def gsum(v):
-            """Per-lane sum over the lane's group (segment sum via one
-            (128, 128) broadcast + sublane reduction; gmask symmetric)."""
-            return jnp.sum(gmask * v[:, None], axis=0)
-    else:
-        diag_pair_mask = 1.0 - eye
+    diag_pair_mask = 1.0 - eye
 
     def pair_block(xi, yi, mi, ispi, xj, yj, mj, ispj, diagonal):
         """g*dx, g*dy for one (128, 128) tile pair: rows = i-tile,
@@ -147,10 +279,7 @@ def _force_kernel(
         isps = [isp[t * t_sz:(t + 1) * t_sz] for t in range(ntiles)]
 
         # Alive count (per nucleus) — position-independent, computed once.
-        if group > 1:
-            count = gsum(m)  # (128,) per-lane group count
-        else:
-            count = jnp.sum(m)
+        count = jnp.sum(m)
         safe = jnp.maximum(count, 1.0)
         # Cube root via exp/log (safe >= 1): Mosaic has no powf lowering.
         nuclear_radius = 1.2 * jnp.exp(jnp.log(safe) / 3.0) * 2.0
@@ -161,12 +290,8 @@ def _force_kernel(
             vectors). The CoM is recomputed from xs/ys — matching
             compute_forces, which leapfrog calls at two positions."""
             # Center of mass of the current positions.
-            if group > 1:
-                cx = gsum(xs[0] * m) / safe
-                cy = gsum(ys[0] * m) / safe
-            else:
-                cx = sum(jnp.sum(xs[t] * ms[t]) for t in range(ntiles)) / safe
-                cy = sum(jnp.sum(ys[t] * ms[t]) for t in range(ntiles)) / safe
+            cx = sum(jnp.sum(xs[t] * ms[t]) for t in range(ntiles)) / safe
+            cy = sum(jnp.sum(ys[t] * ms[t]) for t in range(ntiles)) / safe
 
             # Block-antisymmetric pair sweep: the pair force magnitude is
             # symmetric and the offsets antisymmetric, so the lower-triangle
@@ -307,9 +432,15 @@ def _force_step_batched(pos, vel, ptype, alive, dt, cfg: SimConfig, interpret=Fa
     out_shape = [jax.ShapeDtypeStruct((rows, row_p), jnp.float32)] * 4
 
     sweeps = 2 if cfg.integrator == "leapfrog" else 1
-    flops_per = 2 * row_p * row_p * 40 * sweeps  # ~40 ops per pair interaction
+    if group > 1:
+        kernel = functools.partial(_force_kernel_packed, cfg=cfg, group=group)
+        pair_lanes = row_p * (p_sub - 1)  # rolled-partner passes
+    else:
+        kernel = functools.partial(_force_kernel, cfg=cfg)
+        pair_lanes = row_p * row_p
+    flops_per = 2 * pair_lanes * 40 * sweeps  # ~40 ops per pair interaction
     ox, oy, ovx, ovy = pl.pallas_call(
-        functools.partial(_force_kernel, cfg=cfg, group=group),
+        kernel,
         grid=grid,
         in_specs=[sspec] + [vspec] * 6,
         out_specs=[vspec] * 4,
@@ -318,7 +449,7 @@ def _force_step_batched(pos, vel, ptype, alive, dt, cfg: SimConfig, interpret=Fa
         cost_estimate=pl.CostEstimate(
             flops=flops_per * TILE_B,
             bytes_accessed=10 * TILE_B * row_p * 4,
-            transcendentals=3 * TILE_B * row_p * row_p * sweeps,
+            transcendentals=3 * TILE_B * pair_lanes * sweeps,
         ),
     )(dt_arr, px, py, vx, vy, isp, m)
 
