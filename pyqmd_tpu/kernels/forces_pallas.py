@@ -16,9 +16,10 @@ execution shape:
     negated sublane-axis reduction (g symmetric, dx antisymmetric), never
     spilling pair matrices to HBM;
   * **small nuclei are packed**: when the particle capacity P is below the
-    128-lane width, G = 128 // P nuclei share one lane row with a static
-    block-diagonal pair mask and per-group (segment-summed) centers of
-    mass — so an He-4 ensemble fills all 128 lanes with 16 nuclei per row
+    128-lane width, G = 128 // P nuclei share one lane row; the pair sweep
+    materializes group-local partners with lane rolls (sub-1 elementwise
+    passes, no pair matrix) and tall batch tiles amortize DMA latency —
+    so an He-4 ensemble fills all 128 lanes with 16 nuclei per row
     instead of wasting 120 of them (or falling back to jnp, the r3
     restriction);
   * any capacity is accepted: P is padded up to the next divisor or
@@ -39,8 +40,6 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -50,6 +49,11 @@ from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.state import PROTON
 
 TILE_B = 8  # rows per program: matches the f32 (8, 128) sublane tile
+# Packed rows do ~16x less work per row than a U-238 row, so 8-row blocks
+# are DMA-latency-bound (4 KB per operand per grid step); use taller
+# blocks to amortize (measured: force_only 325 -> ~60 us/substep at
+# He-4 b10240 going 8 -> 64 rows).
+TILE_B_PACKED = 64
 LANES = 128
 
 
@@ -407,7 +411,8 @@ def _force_step_batched(pos, vel, ptype, alive, dt, cfg: SimConfig, interpret=Fa
 
     # Pack G nuclei per 128-lane row (C-order reshape keeps each nucleus's
     # slots contiguous, matching the kernel's static group mask).
-    row_quota = group * TILE_B  # nuclei consumed per grid program
+    tile_b = TILE_B_PACKED if group > 1 else TILE_B
+    row_quota = group * tile_b  # nuclei consumed per grid program
     pad_b = (-b) % row_quota
     if pad_b:
         pos = jnp.pad(pos, ((0, pad_b), (0, 0), (0, 0)))
@@ -426,8 +431,8 @@ def _force_step_batched(pos, vel, ptype, alive, dt, cfg: SimConfig, interpret=Fa
     m = alive.astype(jnp.float32).reshape(rows, row_p)
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
 
-    grid = (rows // TILE_B,)
-    vspec = pl.BlockSpec((TILE_B, row_p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    grid = (rows // tile_b,)
+    vspec = pl.BlockSpec((tile_b, row_p), lambda i: (i, 0), memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     out_shape = [jax.ShapeDtypeStruct((rows, row_p), jnp.float32)] * 4
 
@@ -447,9 +452,9 @@ def _force_step_batched(pos, vel, ptype, alive, dt, cfg: SimConfig, interpret=Fa
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=flops_per * TILE_B,
-            bytes_accessed=10 * TILE_B * row_p * 4,
-            transcendentals=3 * TILE_B * pair_lanes * sweeps,
+            flops=flops_per * tile_b,
+            bytes_accessed=10 * tile_b * row_p * 4,
+            transcendentals=3 * tile_b * pair_lanes * sweeps,
         ),
     )(dt_arr, px, py, vx, vy, isp, m)
 
