@@ -330,6 +330,22 @@ def maybe_decay(
     :func:`_apply_decay_from_draws`); isotope trajectories are bitwise
     identical either way."""
     u = jax.random.uniform(key, (1 + _decay_draw_count(cfg),))
+    return maybe_decay_from_u(state, cfg, u, dyn, row_tables, stats_only)
+
+
+def maybe_decay_from_u(
+    state: NucleusState,
+    cfg: SimConfig,
+    u: jax.Array,
+    dyn: FrameDynamics,
+    row_tables: bool = False,
+    stats_only: bool = False,
+) -> tuple[NucleusState, jax.Array]:
+    """:func:`maybe_decay` over a pre-drawn ``(1 + draw_count,)`` uniform
+    vector — the seam for callers that source the substep's threefry block
+    elsewhere. (Hoisting a whole frame's draws out of the substep scan was
+    measured SLOWER than in-scan draws — see the note in core/step.py —
+    so the batched frames do NOT use this.)"""
     p = decay_probability(state.half_life, dyn.step_time)
     did = u[0] < p
     return _apply_decay_from_draws(

@@ -24,6 +24,13 @@ from pyqmd_tpu.core.dynamics import FrameDynamics
 from pyqmd_tpu.core.overlap import resolve_overlaps
 from pyqmd_tpu.state import ALPHA, NucleusState
 
+# Negative result (r4, measured): hoisting the whole frame's decay draws
+# out of the substep scan into one (S, B, draws) threefry launch is
+# SLOWER than the in-scan per-substep draw (He-4 pallas b10240: 493 vs
+# 354 us/substep, interleaved A/B) — the upfront hash bulk-serializes
+# where the small in-scan draws overlap with the force kernel. Keep the
+# per-substep draw.
+
 
 def select_force_step(cfg: SimConfig):
     """Pick the force backend (reference GPU-or-CPU dispatch analog,
