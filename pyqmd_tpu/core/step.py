@@ -367,7 +367,19 @@ def decay_ensemble_step(
     step_keys = jax.vmap(lambda k: jax.random.split(k, num_steps))(k3[:, 0])
     step_keys = jnp.swapaxes(step_keys, 0, 1)  # (S, B) keys
 
+    # The stats-only decay path never reads or writes the ejecta ring, so
+    # the (B, E) ejecta leaves ride OUTSIDE the scan carry entirely (None
+    # is an empty pytree subtree): zero per-substep HBM traffic for them.
+    ej_fields = (
+        "ej_pos", "ej_vel", "ej_type", "ej_age", "ej_life", "ej_alive",
+        "ej_cursor",
+    )
+    ej_saved = {f: getattr(states, f) for f in ej_fields}
+    states = states.replace(**{f: None for f in ej_fields})
+
     def body(st, keys):
+        # st's ejecta leaves are None (empty subtrees): the stats-only
+        # decay path neither reads nor writes them.
         st = jax.vmap(
             lambda s, k: maybe_decay(
                 s, cfg, k, dyn, row_tables=True, stats_only=True
@@ -376,6 +388,7 @@ def decay_ensemble_step(
         return st, None
 
     states, _ = jax.lax.scan(body, states, step_keys)
+    states = states.replace(**ej_saved)
     states = states.replace(
         rng=jax.vmap(lambda k: jax.random.key_data(k).astype(jnp.uint32))(k3[:, 2]),
     )
