@@ -48,13 +48,24 @@ from jax.experimental.pallas import tpu as pltpu
 from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.state import PROTON
 
-TILE_B = 8  # rows per program: matches the f32 (8, 128) sublane tile
-# Packed rows do ~16x less work per row than a U-238 row, so 8-row blocks
-# are DMA-latency-bound (4 KB per operand per grid step); use taller
-# blocks to amortize (measured: force_only 325 -> ~60 us/substep at
-# He-4 b10240 going 8 -> 64 rows).
-TILE_B_PACKED = 64
+TILE_B = 8  # minimum rows per program: the f32 (8, 128) sublane tile
+# Taller batch tiles are dramatically faster: each grid step amortizes its
+# DMA issue cost and gives the VPU 10s of independent rows of ILP to hide
+# transcendental latency. Measured on the U-238 kernel at b10240
+# (ms/substep): tile 8 = 11.54, 16 = 6.05, 32 = 3.31, 64 = 1.94,
+# 128 = 1.19 — ~10x from tile height alone. Capped at 128 rows (VMEM and
+# Mosaic-unroll compile time); small batches round down so a single
+# nucleus doesn't pad 128x.
+TILE_B_CAP = 128
 LANES = 128
+
+
+def _tile_rows(rows: int, cap: int = TILE_B_CAP) -> int:
+    """Largest power-of-two tile height <= min(cap, next_pow2(rows))."""
+    t = TILE_B
+    while t < cap and t < rows:
+        t *= 2
+    return t
 
 
 def _pair_force(dist, dist2, pp, same, cfg: SimConfig, recip):
@@ -276,7 +287,7 @@ def _force_kernel(
         g = pair * f * inv_dist
         return g * dx, g * dy
 
-    for b in range(TILE_B):  # static unroll over the batch tile
+    for b in range(px_ref.shape[0]):  # static unroll over the batch tile
         m = m_ref[b, :]
         isp = isp_ref[b, :]
         ms = [m[t * t_sz:(t + 1) * t_sz] for t in range(ntiles)]
@@ -411,7 +422,7 @@ def _force_step_batched(pos, vel, ptype, alive, dt, cfg: SimConfig, interpret=Fa
 
     # Pack G nuclei per 128-lane row (C-order reshape keeps each nucleus's
     # slots contiguous, matching the kernel's static group mask).
-    tile_b = TILE_B_PACKED if group > 1 else TILE_B
+    tile_b = _tile_rows(-(-b // group))
     row_quota = group * tile_b  # nuclei consumed per grid program
     pad_b = (-b) % row_quota
     if pad_b:

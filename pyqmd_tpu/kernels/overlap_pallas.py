@@ -8,8 +8,9 @@ angle-sum random directions for coincident pairs, capped per-particle
 displacement — with the force kernel's execution shape
 (:mod:`pyqmd_tpu.kernels.forces_pallas`):
 
-  * grid over batch tiles (TILE_B nuclei per program), planar (B, P)
-    arrays so lanes are the particle axis;
+  * grid over tall batch tiles (up to 128 rows per program — see
+    forces_pallas.TILE_B_CAP), planar (B, P) arrays so lanes are the
+    particle axis;
   * (128, 128) pair blocks in VMEM, block-antisymmetric sweep: the push
     direction is antisymmetric and the push magnitude symmetric, so only
     the upper-triangle blocks are computed;
@@ -26,8 +27,6 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -35,12 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pyqmd_tpu.config import SimConfig
 
-TILE_B = 8
-
 
 def _overlap_kernel(
-    px_ref, py_ref, m_ref, cu_ref, su_ref,  # (TILE_B, P) VMEM f32
-    ox_ref, oy_ref,  # outputs (TILE_B, P)
+    px_ref, py_ref, m_ref, cu_ref, su_ref,  # (tile_b, P) VMEM f32
+    ox_ref, oy_ref,  # outputs (tile_b, P)
     *,
     cfg: SimConfig,
     group: int = 1,
@@ -86,7 +83,7 @@ def _overlap_kernel(
         push = pair * (md - jnp.where(degen, 0.001, dist)) * 0.5
         return push * dirx, push * diry
 
-    for b in range(TILE_B):  # static unroll over the batch tile
+    for b in range(px_ref.shape[0]):  # static unroll over the batch tile
         xs = [px_ref[b, t * t_sz:(t + 1) * t_sz] for t in range(ntiles)]
         ys = [py_ref[b, t * t_sz:(t + 1) * t_sz] for t in range(ntiles)]
         ms = [m_ref[b, t * t_sz:(t + 1) * t_sz] for t in range(ntiles)]
@@ -124,7 +121,7 @@ def _overlap_kernel(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def _overlap_batched(pos, alive, u, cfg: SimConfig, interpret=False):
-    from pyqmd_tpu.kernels.forces_pallas import _packing
+    from pyqmd_tpu.kernels.forces_pallas import _packing, _tile_rows
 
     b, p = alive.shape
     p_sub, group = _packing(p)
@@ -133,7 +130,10 @@ def _overlap_batched(pos, alive, u, cfg: SimConfig, interpret=False):
         pos = jnp.pad(pos, ((0, 0), (0, pad_p), (0, 0)))
         alive = jnp.pad(alive, ((0, 0), (0, pad_p)))
         u = jnp.pad(u, ((0, 0), (0, pad_p)))
-    row_quota = group * TILE_B
+    # Tall batch tiles: same ILP/DMA-amortization win as the force kernel
+    # (see forces_pallas.TILE_B_CAP).
+    tile_b = _tile_rows(-(-b // group))
+    row_quota = group * tile_b
     pad_b = (-b) % row_quota
     if pad_b:
         pos = jnp.pad(pos, ((0, pad_b), (0, 0), (0, 0)))
@@ -149,8 +149,8 @@ def _overlap_batched(pos, alive, u, cfg: SimConfig, interpret=False):
     cu = jnp.cos(u).reshape(rows, row_p)
     su = jnp.sin(u).reshape(rows, row_p)
 
-    grid = (rows // TILE_B,)
-    vspec = pl.BlockSpec((TILE_B, row_p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    grid = (rows // tile_b,)
+    vspec = pl.BlockSpec((tile_b, row_p), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ox, oy = pl.pallas_call(
         functools.partial(_overlap_kernel, cfg=cfg, group=group),
         grid=grid,
@@ -159,8 +159,8 @@ def _overlap_batched(pos, alive, u, cfg: SimConfig, interpret=False):
         out_shape=[jax.ShapeDtypeStruct((rows, row_p), jnp.float32)] * 2,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * row_p * row_p * 15 * TILE_B,
-            bytes_accessed=7 * TILE_B * row_p * 4,
+            flops=2 * row_p * row_p * 15 * tile_b,
+            bytes_accessed=7 * tile_b * row_p * 4,
             transcendentals=0,
         ),
     )(px, py, m, cu, su)
