@@ -49,14 +49,18 @@ from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.state import PROTON
 
 TILE_B = 8  # minimum rows per program: the f32 (8, 128) sublane tile
-# Taller batch tiles are dramatically faster: each grid step amortizes its
-# DMA issue cost and gives the VPU 10s of independent rows of ILP to hide
-# transcendental latency. Measured on the U-238 kernel at b10240
-# (ms/substep): tile 8 = 11.54, 16 = 6.05, 32 = 3.31, 64 = 1.94,
-# 128 = 1.19 — ~10x from tile height alone. Capped at 128 rows (VMEM and
-# Mosaic-unroll compile time); small batches round down so a single
-# nucleus doesn't pad 128x.
-TILE_B_CAP = 128
+# Batch-tile height. The device shows BIMODAL grid-step execution
+# (docs/PERFORMANCE.md "tile height and the two device modes"): in its
+# overlapped mode, wall time scales with GRID STEPS and tall tiles are
+# huge wins (U-238 b10240 ms/substep measured 8/16/32/64/128 =
+# 11.54/6.05/3.31/1.94/1.19); in its serialized mode, time scales with
+# ROWS and tall tiles cost a few % extra (same sweep re-measured:
+# 11.5/11.5/11.5/12.9/12.3). Caps are chosen never-worse across both
+# modes: 32 for the row-unrolled kernels (equal in serialized mode, 3.5x
+# in overlapped mode), 64 for the packed kernel (fully row-vectorized —
+# tall tiles measured flat-to-better in both modes).
+TILE_B_CAP = 32
+TILE_B_CAP_PACKED = 64
 LANES = 128
 
 
@@ -422,7 +426,9 @@ def _force_step_batched(pos, vel, ptype, alive, dt, cfg: SimConfig, interpret=Fa
 
     # Pack G nuclei per 128-lane row (C-order reshape keeps each nucleus's
     # slots contiguous, matching the kernel's static group mask).
-    tile_b = _tile_rows(-(-b // group))
+    tile_b = _tile_rows(
+        -(-b // group), TILE_B_CAP_PACKED if group > 1 else TILE_B_CAP
+    )
     row_quota = group * tile_b  # nuclei consumed per grid program
     pad_b = (-b) % row_quota
     if pad_b:
