@@ -52,6 +52,12 @@ class SimConfig:
     # reference's embedded OpenCL kernel, nuclear_forces.py:57-173).
     force_backend: str = "jnp"
 
+    # Decay backend for the statistics-only batched frame: "auto" uses the
+    # fused Mosaic decay kernel (kernels/decay_pallas.py) on TPU and the
+    # jnp path elsewhere; "pallas"/"jnp" force one. Results are identical
+    # up to transcendental ULP in the chain-time record (test-pinned).
+    decay_backend: str = "auto"
+
     # Relaxed-precision transcendentals in the Pallas kernel (approximate
     # reciprocals) — the analog of the reference's -cl-fast-relaxed-math
     # build flag (nuclear_forces.py:175), which is also ITS default. ~11%

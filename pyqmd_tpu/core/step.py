@@ -377,15 +377,29 @@ def decay_ensemble_step(
     ej_saved = {f: getattr(states, f) for f in ej_fields}
     states = states.replace(**{f: None for f in ej_fields})
 
-    def body(st, keys):
-        # st's ejecta leaves are None (empty subtrees): the stats-only
-        # decay path neither reads nor writes them.
-        st = jax.vmap(
-            lambda s, k: maybe_decay(
-                s, cfg, k, dyn, row_tables=True, stats_only=True
-            )[0]
-        )(st, keys)
-        return st, None
+    # The fused Mosaic decay kernel collapses the ~30 per-substep XLA
+    # fusions of the masked-update path into one program (+ the threefry
+    # draw and three nuclear-data row gathers, which stay in XLA);
+    # decisions are identical (integer trajectories exact, chain times to
+    # transcendental ULP — tests/test_kernel.py pins it).
+    use_kernel = cfg.decay_backend == "pallas" or (
+        cfg.decay_backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_kernel:
+        from pyqmd_tpu.kernels.decay_pallas import decay_stats_step_pallas
+
+        def body(st, keys):
+            return decay_stats_step_pallas(st, cfg, keys, dyn), None
+    else:
+        def body(st, keys):
+            # st's ejecta leaves are None (empty subtrees): the stats-only
+            # decay path neither reads nor writes them.
+            st = jax.vmap(
+                lambda s, k: maybe_decay(
+                    s, cfg, k, dyn, row_tables=True, stats_only=True
+                )[0]
+            )(st, keys)
+            return st, None
 
     states, _ = jax.lax.scan(body, states, step_keys)
     states = states.replace(**ej_saved)
