@@ -57,6 +57,20 @@ from pyqmd_tpu.state import (
 TILE_T = 2048
 
 
+def _lane_cumsum(x):
+    """Inclusive prefix sum along lanes (axis=1): Hillis-Steele over
+    log2(width) lane rolls — Mosaic has no cumsum lowering."""
+    t, w = x.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+    out = x
+    k = 1
+    while k < w:
+        shifted = pltpu.roll(out, k, 1)
+        out = out + jnp.where(lane >= k, shifted, jnp.zeros_like(out))
+        k *= 2
+    return out
+
+
 def _decay_stats_kernel(
     dt_ref,  # (1, 1) SMEM step_time
     u_ref,  # (T, 4) f32: bernoulli, branch, duration, half-life draws
@@ -130,8 +144,8 @@ def _decay_stats_kernel(
     alive_b = alive != 0
     alive_p = alive_b & is_p
     alive_n = alive_b & is_n
-    prank = jnp.cumsum(alive_p.astype(jnp.int32), axis=1) - 1
-    nrank = jnp.cumsum(alive_n.astype(jnp.int32), axis=1) - 1
+    prank = _lane_cumsum(alive_p.astype(jnp.int32)) - 1
+    nrank = _lane_cumsum(alive_n.astype(jnp.int32)) - 1
     # _REMOVE_P = [0,2,0,0,0,0,1,0], _REMOVE_N = [0,2,0,0,0,1,0,0] as
     # arithmetic selects on the mode index.
     rm_p = (
