@@ -381,15 +381,26 @@ def decay_ensemble_step(
     # fusions of the masked-update path into one program (+ the threefry
     # draw and three nuclear-data row gathers, which stay in XLA);
     # decisions are identical (integer trajectories exact, chain times to
-    # transcendental ULP — tests/test_kernel.py pins it).
+    # transcendental ULP — tests/test_kernel.py pins it). The scan carries
+    # the kernel's BATCH-MINOR (transposed) field views — nuclei on lanes
+    # — so the one transpose each way happens outside the substep loop.
     use_kernel = cfg.decay_backend == "pallas" or (
         cfg.decay_backend == "auto" and jax.default_backend() == "tpu"
     )
     if use_kernel:
-        from pyqmd_tpu.kernels.decay_pallas import decay_stats_step_pallas
+        from pyqmd_tpu.kernels.decay_pallas import (
+            decay_stats_substep_t,
+            transpose_state_for_decay,
+            untranspose_decay_fields,
+        )
 
-        def body(st, keys):
-            return decay_stats_step_pallas(st, cfg, keys, dyn), None
+        fields = transpose_state_for_decay(states)
+
+        def body_t(fl, keys):
+            return decay_stats_substep_t(fl, cfg, keys, dyn), None
+
+        fields, _ = jax.lax.scan(body_t, fields, step_keys)
+        states = untranspose_decay_fields(states, fields)
     else:
         def body(st, keys):
             # st's ejecta leaves are None (empty subtrees): the stats-only
@@ -401,7 +412,7 @@ def decay_ensemble_step(
             )(st, keys)
             return st, None
 
-    states, _ = jax.lax.scan(body, states, step_keys)
+        states, _ = jax.lax.scan(body, states, step_keys)
     states = states.replace(**ej_saved)
     states = states.replace(
         rng=jax.vmap(lambda k: jax.random.key_data(k).astype(jnp.uint32))(k3[:, 2]),

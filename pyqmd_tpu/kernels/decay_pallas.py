@@ -6,18 +6,23 @@ duration record, rank masks, alive/ptype adjustment, counters, chain-ring
 writes — each a separate launch and a separate HBM pass over (B, ...)
 arrays. At a 2M-nucleus C-14 ensemble that measures ~2.5-3x the minimal
 HBM traffic (docs/PERFORMANCE.md). This kernel fuses the whole transition
-into ONE program per batch tile:
+into ONE program per batch tile, in the TPU-natural orientation:
 
-  * nuclei ride SUBLANES (batch-major blocks), per-nucleus scalars are
-    (T, 1) columns broadcast along lanes, the particle/ring axes are
-    lanes — every update is elementwise on its natural block;
+  * nuclei ride LANES (batch-minor), so per-nucleus scalars are (1, T)
+    rows, the particle and chain-ring axes are SUBLANES — no VMEM lane
+    padding anywhere (the nucleus-major formulation OOM'd scoped VMEM:
+    every narrow (T, k) block pads its lane dim to 128);
+  * the frame transposes the per-nucleus arrays once OUTSIDE the substep
+    scan (`decay_ensemble_step`), so the kernel is the only consumer of
+    the transposed carry — per-substep transpose traffic is zero;
   * the substep's randomness (one uniform vector per nucleus) and the
     THREE nuclear-data row gathers (parent cell + both daughter-candidate
     cells of the packed (CELLS, 16) table, `data.tables._ROWS`) stay
     OUTSIDE in XLA — gathers don't lower well in Mosaic, and drawing
     outside keeps the PRNG stream identical to the jnp path;
-  * the tiny decay-mode property tables (_REMOVE_P/_REMOVE_N, the
-    mode→ejecta map) become arithmetic selects on the mode index.
+  * the tiny decay-mode property tables (_REMOVE_P/_REMOVE_N) become
+    arithmetic selects on the mode index; the particle-rank cumsum is a
+    sublane Hillis-Steele (Mosaic has no cumsum lowering).
 
 Semantics mirror `core.decay._apply_decay_from_draws(stats_only=True)`
 term for term (reference behavior: particles.py:126-203,
@@ -48,62 +53,61 @@ from pyqmd_tpu.state import (
     DECAY_PROTON_EMISSION,
     NEUTRON,
     PROTON,
-    NucleusState,
 )
 
-# Nuclei per grid program. Tall tiles amortize per-grid-step overhead
-# (the kernel is HBM-traffic-bound, not compute-bound); VMEM per program
-# is ~(P + C + ~60) lanes x T x 4 B x 2 (double buffering).
-TILE_T = 2048
+# Nuclei (lanes) per grid program. The kernel is HBM-traffic-bound; tall
+# tiles amortize per-grid-step overhead. VMEM per program is roughly
+# (2*(P + 16) + 12*C + ~90) sublane rows x TILE_T x 4 B x 2 (double
+# buffering) — ~10 MB at the defaults (P=16, C=8).
+TILE_T = 4096
 
-
-def _lane_cumsum(x):
-    """Inclusive prefix sum along lanes (axis=1): Hillis-Steele over
-    log2(width) lane rolls — Mosaic has no cumsum lowering."""
-    t, w = x.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+def _sublane_cumsum(x):
+    """Inclusive prefix sum along sublanes (axis=0): Hillis-Steele over
+    log2(height) sublane rolls — Mosaic has no cumsum lowering."""
+    h = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     out = x
     k = 1
-    while k < w:
-        shifted = pltpu.roll(out, k, 1)
-        out = out + jnp.where(lane >= k, shifted, jnp.zeros_like(out))
+    while k < h:
+        shifted = pltpu.roll(out, k, 0)
+        out = out + jnp.where(row >= k, shifted, jnp.zeros_like(out))
         k *= 2
     return out
 
 
 def _decay_stats_kernel(
     dt_ref,  # (1, 1) SMEM step_time
-    u_ref,  # (T, 4) f32: bernoulli, branch, duration, half-life draws
-    prow_ref, d0_ref, d1_ref,  # (T, 16) f32 packed nuclear-data rows
-    z_ref, n_ref, cc_ref,  # (T, 1) i32
-    hl_ref, tp_ref, ld_ref,  # (T, 1) f32
-    counts_ref,  # (T, 8) i32
-    alive_ref, ptype_ref,  # (T, P) i32
-    cz0_ref, cn0_ref, cdt_ref, cz1_ref, cn1_ref,  # (T, C) i32
-    ct_ref,  # (T, C) f32
+    u_ref,  # (4, T) f32: bernoulli, branch, duration, half-life draws
+    prow_ref, d0_ref, d1_ref,  # (16, T) f32 packed nuclear-data rows
+    z_ref, n_ref, cc_ref,  # (1, T) i32
+    hl_ref, tp_ref, ld_ref,  # (1, T) f32
+    counts_ref,  # (8, T) i32
+    alive_ref, ptype_ref,  # (P, T) i32
+    cz0_ref, cn0_ref, cdt_ref, cz1_ref, cn1_ref,  # (C, T) i32
+    ct_ref,  # (C, T) f32
     # outputs
-    oz_ref, on_ref, occ_ref,  # (T, 1) i32
-    ohl_ref, old_ref,  # (T, 1) f32
-    ocounts_ref,  # (T, 8) i32
-    oalive_ref, optype_ref,  # (T, P) i32
-    ocz0_ref, ocn0_ref, ocdt_ref, ocz1_ref, ocn1_ref,  # (T, C) i32
-    oct_ref,  # (T, C) f32
+    oz_ref, on_ref, occ_ref,  # (1, T) i32
+    ohl_ref, old_ref,  # (1, T) f32
+    ocounts_ref,  # (8, T) i32
+    oalive_ref, optype_ref,  # (P, T) i32
+    ocz0_ref, ocn0_ref, ocdt_ref, ocz1_ref, ocn1_ref,  # (C, T) i32
+    oct_ref,  # (C, T) f32
     *,
     cfg: SimConfig,
 ):
     step_time = dt_ref[0, 0]
     inf = jnp.float32(jnp.inf)
 
-    hl = hl_ref[...]  # (T, 1)
+    hl = hl_ref[...]  # (1, T)
     z = z_ref[...]
     n = n_ref[...]
     tp = tp_ref[...]
     ld = ld_ref[...]
     cc = cc_ref[...]
-    u_bern = u_ref[:, 0:1]
-    u_branch = u_ref[:, 1:2]
-    u_dur = u_ref[:, 2:3]
-    u_hl = u_ref[:, 3:4]
+    u_bern = u_ref[0:1, :]
+    u_branch = u_ref[1:2, :]
+    u_dur = u_ref[2:3, :]
+    u_hl = u_ref[3:4, :]
 
     # --- Bernoulli decay probability (particles.py:126-147).
     hl_pos = jnp.maximum(hl, 1e-30)
@@ -117,10 +121,10 @@ def _decay_stats_kernel(
     # --- branch selection over the pre-gathered packed parent row
     # (tables.sample_branch_from_row).
     prow = prow_ref[...]
-    pick1 = u_branch > prow[:, 5:6]
-    new_z = jnp.where(pick1, prow[:, 9:10], prow[:, 6:7]).astype(jnp.int32)
-    new_n = jnp.where(pick1, prow[:, 10:11], prow[:, 7:8]).astype(jnp.int32)
-    dtype = jnp.where(pick1, prow[:, 11:12], prow[:, 8:9]).astype(jnp.int32)
+    pick1 = u_branch > prow[5:6, :]
+    new_z = jnp.where(pick1, prow[9:10, :], prow[6:7, :]).astype(jnp.int32)
+    new_n = jnp.where(pick1, prow[10:11, :], prow[7:8, :]).astype(jnp.int32)
+    dtype = jnp.where(pick1, prow[11:12, :], prow[8:9, :]).astype(jnp.int32)
     eff = did & (dtype != DECAY_NONE)
     effi = eff.astype(jnp.int32)
     efff = eff.astype(jnp.float32)
@@ -135,17 +139,15 @@ def _decay_stats_kernel(
     synth = jnp.where(hl_inf, 0.0, synth)
     duration = jnp.where((measured < 0.001) | (hl < 0.001), synth, measured)
 
-    # --- nucleon adjustment (particles.py:149-203): rank masks via a lane
-    # cumsum over the particle axis.
+    # --- nucleon adjustment (particles.py:149-203): rank masks via a
+    # sublane prefix sum over the particle axis.
     alive = alive_ref[...]
     ptype = ptype_ref[...]
-    is_p = ptype == PROTON
-    is_n = ptype == NEUTRON
     alive_b = alive != 0
-    alive_p = alive_b & is_p
-    alive_n = alive_b & is_n
-    prank = _lane_cumsum(alive_p.astype(jnp.int32)) - 1
-    nrank = _lane_cumsum(alive_n.astype(jnp.int32)) - 1
+    alive_p = alive_b & (ptype == PROTON)
+    alive_n = alive_b & (ptype == NEUTRON)
+    prank = _sublane_cumsum(alive_p.astype(jnp.int32)) - 1
+    nrank = _sublane_cumsum(alive_n.astype(jnp.int32)) - 1
     # _REMOVE_P = [0,2,0,0,0,0,1,0], _REMOVE_N = [0,2,0,0,0,1,0,0] as
     # arithmetic selects on the mode index.
     rm_p = (
@@ -168,28 +170,27 @@ def _decay_stats_kernel(
     # (tables.half_life_from_row).
     drow = jnp.where(pick1, d1_ref[...], d0_ref[...])
     est = jnp.where(
-        drow[:, 4:5] > 0.5,
+        drow[4:5, :] > 0.5,
         inf,
-        jnp.exp2(jnp.log2(jnp.float32(10.0)) * (drow[:, 1:2] + u_hl * drow[:, 2:3]))
-        * drow[:, 3:4],
+        jnp.exp2(
+            jnp.log2(jnp.float32(10.0)) * (drow[1:2, :] + u_hl * drow[2:3, :])
+        )
+        * drow[3:4, :],
     )
-    tab = drow[:, 0:1]
+    tab = drow[0:1, :]
     hl_new = jnp.where(tab != tab, est, tab)  # NaN row slot 0 = "estimate"
     hl2 = jnp.where(eff, hl_new, hl)
 
-    z2 = jnp.where(eff, new_z, z)
-    n2 = jnp.where(eff, new_n, n)
-
     # --- decay counters (fixing the reference's never-incremented
     # decay_counts, SURVEY C15).
-    cidx = jax.lax.broadcasted_iota(jnp.int32, counts_ref.shape, 1)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, counts_ref.shape, 0)
     ocounts_ref[...] = counts_ref[...] + jnp.where(cidx == dtype, effi, 0)
 
-    # --- chain-ring append as a masked lane write.
-    c_cap = ct_ref.shape[1]
+    # --- chain-ring append as a masked sublane write.
+    c_cap = ct_ref.shape[0]
     slot = cc - (cc // c_cap) * c_cap
-    lidx = jax.lax.broadcasted_iota(jnp.int32, ct_ref.shape, 1)
-    smask = (lidx == slot) & eff
+    ridx = jax.lax.broadcasted_iota(jnp.int32, ct_ref.shape, 0)
+    smask = (ridx == slot) & eff
 
     ocz0_ref[...] = jnp.where(smask, z, cz0_ref[...])
     ocn0_ref[...] = jnp.where(smask, n, cn0_ref[...])
@@ -198,8 +199,8 @@ def _decay_stats_kernel(
     ocn1_ref[...] = jnp.where(smask, new_n, cn1_ref[...])
     oct_ref[...] = jnp.where(smask, duration * efff, ct_ref[...])
 
-    oz_ref[...] = z2
-    on_ref[...] = n2
+    oz_ref[...] = jnp.where(eff, new_z, z)
+    on_ref[...] = jnp.where(eff, new_n, n)
     occ_ref[...] = cc + effi
     ohl_ref[...] = hl2
     old_ref[...] = jnp.where(eff, tp, ld)
@@ -208,55 +209,57 @@ def _decay_stats_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def _decay_stats_batched(state: NucleusState, cfg: SimConfig, u, dyn_step_time,
-                         interpret=False):
-    """One stats-only decay substep over a batched state via the fused
-    kernel. ``u`` is the (B, 1 + draw_count) uniform block (only the first
-    4 columns are consumed — same stream as the jnp path)."""
-    b = state.z.shape[0]
+def _decay_stats_batched_t(fields: dict, cfg: SimConfig, u_t, dyn_step_time,
+                           interpret=False):
+    """One stats-only decay substep over TRANSPOSED per-nucleus fields.
+
+    ``fields`` is a dict of batch-minor arrays — scalars (1, B), alive and
+    ptype (P, B), chain rings (C, B) — as produced by
+    :func:`transpose_state_for_decay`; ``u_t`` is the (4, B) uniform block
+    (same threefry stream as the jnp path). Returns the updated dict.
+    """
+    b = fields["z"].shape[1]
     pad = (-b) % TILE_T
     tiles = (b + pad) // TILE_T
-
-    rows_tab = jnp.asarray(tables._ROWS)
-    prow = jnp.take(rows_tab, tables._flat_index(state.z, state.n), axis=0)
-    d0 = jnp.take(
-        rows_tab,
-        tables._flat_index(prow[:, 6].astype(jnp.int32), prow[:, 7].astype(jnp.int32)),
-        axis=0,
-    )
-    d1 = jnp.take(
-        rows_tab,
-        tables._flat_index(prow[:, 9].astype(jnp.int32), prow[:, 10].astype(jnp.int32)),
-        axis=0,
-    )
-
-    def col(a, dt_):
-        return jnp.pad(a.astype(dt_)[:, None], ((0, pad), (0, 0)))
-
-    def wide(a, dt_):
-        return jnp.pad(a.astype(dt_), ((0, pad), (0, 0)))
-
-    args = (
-        jnp.asarray(dyn_step_time, jnp.float32).reshape(1, 1),
-        wide(u[:, :4], jnp.float32),
-        wide(prow, jnp.float32), wide(d0, jnp.float32), wide(d1, jnp.float32),
-        col(state.z, jnp.int32), col(state.n, jnp.int32),
-        col(state.chain_cursor, jnp.int32),
-        col(state.half_life, jnp.float32), col(state.time_passed, jnp.float32),
-        col(state.last_decay_time, jnp.float32),
-        wide(state.decay_counts, jnp.int32),
-        wide(state.alive, jnp.int32), wide(state.ptype, jnp.int32),
-        wide(state.chain_z0, jnp.int32), wide(state.chain_n0, jnp.int32),
-        wide(state.chain_dtype, jnp.int32),
-        wide(state.chain_z1, jnp.int32), wide(state.chain_n1, jnp.int32),
-        wide(state.chain_time, jnp.float32),
-    )
-    p_cap = state.alive.shape[1]
-    c_cap = state.chain_time.shape[1]
     bb = b + pad
 
-    def spec(w):
-        return pl.BlockSpec((TILE_T, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # Nuclear-data row gathers (XLA): parent cell + both daughter
+    # candidates, transposed to (16, B).
+    rows_t = jnp.asarray(tables._ROWS.T)
+    z_flat = fields["z"][0]
+    n_flat = fields["n"][0]
+    prow = jnp.take(rows_t, tables._flat_index(z_flat, n_flat), axis=1)
+    d0 = jnp.take(
+        rows_t,
+        tables._flat_index(prow[6].astype(jnp.int32), prow[7].astype(jnp.int32)),
+        axis=1,
+    )
+    d1 = jnp.take(
+        rows_t,
+        tables._flat_index(prow[9].astype(jnp.int32), prow[10].astype(jnp.int32)),
+        axis=1,
+    )
+
+    rp = lambda a: jnp.pad(a, ((0, 0), (0, pad)))  # noqa: E731
+    args = (
+        jnp.asarray(dyn_step_time, jnp.float32).reshape(1, 1),
+        rp(u_t),
+        rp(prow), rp(d0), rp(d1),
+        rp(fields["z"]), rp(fields["n"]), rp(fields["chain_cursor"]),
+        rp(fields["half_life"]), rp(fields["time_passed"]),
+        rp(fields["last_decay_time"]),
+        rp(fields["decay_counts"]),
+        rp(fields["alive"]), rp(fields["ptype"]),
+        rp(fields["chain_z0"]), rp(fields["chain_n0"]),
+        rp(fields["chain_dtype"]),
+        rp(fields["chain_z1"]), rp(fields["chain_n1"]),
+        rp(fields["chain_time"]),
+    )
+    p_cap = fields["alive"].shape[0]
+    c_cap = fields["chain_time"].shape[0]
+
+    def spec(h):
+        return pl.BlockSpec((h, TILE_T), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     in_specs = [
@@ -275,20 +278,20 @@ def _decay_stats_batched(state: NucleusState, cfg: SimConfig, u, dyn_step_time,
     i32 = jnp.int32
     f32 = jnp.float32
     out_shape = [
-        jax.ShapeDtypeStruct((bb, 1), i32),  # z
-        jax.ShapeDtypeStruct((bb, 1), i32),  # n
-        jax.ShapeDtypeStruct((bb, 1), i32),  # chain_cursor
-        jax.ShapeDtypeStruct((bb, 1), f32),  # half_life
-        jax.ShapeDtypeStruct((bb, 1), f32),  # last_decay_time
-        jax.ShapeDtypeStruct((bb, 8), i32),  # decay_counts
-        jax.ShapeDtypeStruct((bb, p_cap), i32),  # alive
-        jax.ShapeDtypeStruct((bb, p_cap), i32),  # ptype
-        jax.ShapeDtypeStruct((bb, c_cap), i32),  # chain_z0
-        jax.ShapeDtypeStruct((bb, c_cap), i32),  # chain_n0
-        jax.ShapeDtypeStruct((bb, c_cap), i32),  # chain_dtype
-        jax.ShapeDtypeStruct((bb, c_cap), i32),  # chain_z1
-        jax.ShapeDtypeStruct((bb, c_cap), i32),  # chain_n1
-        jax.ShapeDtypeStruct((bb, c_cap), f32),  # chain_time
+        jax.ShapeDtypeStruct((1, bb), i32),  # z
+        jax.ShapeDtypeStruct((1, bb), i32),  # n
+        jax.ShapeDtypeStruct((1, bb), i32),  # chain_cursor
+        jax.ShapeDtypeStruct((1, bb), f32),  # half_life
+        jax.ShapeDtypeStruct((1, bb), f32),  # last_decay_time
+        jax.ShapeDtypeStruct((8, bb), i32),  # decay_counts
+        jax.ShapeDtypeStruct((p_cap, bb), i32),  # alive
+        jax.ShapeDtypeStruct((p_cap, bb), i32),  # ptype
+        jax.ShapeDtypeStruct((c_cap, bb), i32),  # chain_z0
+        jax.ShapeDtypeStruct((c_cap, bb), i32),  # chain_n0
+        jax.ShapeDtypeStruct((c_cap, bb), i32),  # chain_dtype
+        jax.ShapeDtypeStruct((c_cap, bb), i32),  # chain_z1
+        jax.ShapeDtypeStruct((c_cap, bb), i32),  # chain_n1
+        jax.ShapeDtypeStruct((c_cap, bb), f32),  # chain_time
     ]
     outs = pl.pallas_call(
         functools.partial(_decay_stats_kernel, cfg=cfg),
@@ -306,32 +309,65 @@ def _decay_stats_batched(state: NucleusState, cfg: SimConfig, u, dyn_step_time,
     (z2, n2, cc2, hl2, ld2, counts2, alive2, ptype2,
      cz0, cn0, cdt, cz1, cn1, ct) = outs
 
-    clip = lambda a: a[:b]  # noqa: E731
-    return state.replace(
-        z=clip(z2)[:, 0],
-        n=clip(n2)[:, 0],
-        chain_cursor=clip(cc2)[:, 0],
-        half_life=clip(hl2)[:, 0],
-        last_decay_time=clip(ld2)[:, 0],
-        decay_counts=clip(counts2),
-        alive=clip(alive2) != 0,
-        ptype=clip(ptype2),
+    clip = lambda a: a[:, :b]  # noqa: E731
+    out = dict(fields)
+    out.update(
+        z=clip(z2), n=clip(n2), chain_cursor=clip(cc2),
+        half_life=clip(hl2), last_decay_time=clip(ld2),
+        decay_counts=clip(counts2), alive=clip(alive2), ptype=clip(ptype2),
         chain_z0=clip(cz0), chain_n0=clip(cn0), chain_dtype=clip(cdt),
         chain_z1=clip(cz1), chain_n1=clip(cn1), chain_time=clip(ct),
     )
+    return out
 
 
-def decay_stats_step_pallas(
-    states: NucleusState, cfg: SimConfig, keys, dyn: FrameDynamics,
-    interpret=False,
-) -> NucleusState:
-    """Batched stats-only decay substep — the fused-kernel twin of
-    ``vmap(maybe_decay(..., row_tables=True, stats_only=True))``.
+DECAY_T_FIELDS = (
+    "z", "n", "chain_cursor", "half_life", "time_passed", "last_decay_time",
+    "decay_counts", "alive", "ptype",
+    "chain_z0", "chain_n0", "chain_dtype", "chain_z1", "chain_n1",
+    "chain_time",
+)
 
-    ``keys`` is the (B,) per-nucleus substep key array; the uniform vector
-    per nucleus is drawn exactly as the jnp path draws it, so decisions
-    are identical up to transcendental ULP in the probability math.
+
+def transpose_state_for_decay(states) -> dict:
+    """Batch-minor views of the state fields the decay kernel touches:
+    scalars (1, B), everything else (k, B). One transpose per frame — the
+    substep scan carries these directly."""
+    out = {}
+    for f in DECAY_T_FIELDS:
+        a = getattr(states, f)
+        if a.ndim == 1:
+            out[f] = a[None, :]
+        else:
+            out[f] = a.T
+    out["alive"] = out["alive"].astype(jnp.int32)
+    return out
+
+
+def untranspose_decay_fields(states, fields: dict):
+    """Write the kernel's batch-minor fields back into the state pytree."""
+    upd = {}
+    for f in DECAY_T_FIELDS:
+        a = fields[f]
+        orig = getattr(states, f)
+        if orig.ndim == 1:
+            upd[f] = a[0].astype(orig.dtype)
+        else:
+            upd[f] = a.T.astype(orig.dtype)
+    return states.replace(**upd)
+
+
+def decay_stats_substep_t(fields: dict, cfg: SimConfig, keys,
+                          dyn: FrameDynamics, interpret=False) -> dict:
+    """Batched stats-only decay substep on transposed fields — the
+    fused-kernel twin of ``vmap(maybe_decay(..., stats_only=True))``.
+
+    ``keys`` is the (B,) per-nucleus substep key array; each nucleus's
+    uniform vector is drawn exactly as the jnp path draws it (same key,
+    same shape), so decisions are identical up to transcendental ULP in
+    the probability math. Only the first 4 of the 1+draw_count uniforms
+    are consumed (the rest parameterize ejecta, skipped in stats mode).
     """
     ndraw = 1 + _decay_draw_count(cfg)
-    u = jax.vmap(lambda k: jax.random.uniform(k, (ndraw,)))(keys)
-    return _decay_stats_batched(states, cfg, u, dyn.step_time, interpret)
+    u_t = jax.vmap(lambda k: jax.random.uniform(k, (ndraw,)), out_axes=1)(keys)
+    return _decay_stats_batched_t(fields, cfg, u_t[:4], dyn.step_time, interpret)

@@ -233,7 +233,11 @@ def test_decay_stats_kernel_matches_jnp():
     from pyqmd_tpu.core.decay import maybe_decay
     from pyqmd_tpu.core.dynamics import FrameDynamics
     from pyqmd_tpu.core.init import ensemble_init
-    from pyqmd_tpu.kernels.decay_pallas import decay_stats_step_pallas
+    from pyqmd_tpu.kernels.decay_pallas import (
+        decay_stats_substep_t,
+        transpose_state_for_decay,
+        untranspose_decay_fields,
+    )
 
     cfg = SimConfig.for_isotope(82, 132, pad_to=8)
     b = 64
@@ -256,7 +260,9 @@ def test_decay_stats_kernel_matches_jnp():
             )[0]
         )(ref, keys)
         ref = ref.replace(time_passed=ref.time_passed + dyn.step_time)
-        ker = decay_stats_step_pallas(ker, cfg, keys, dyn, interpret=True)
+        fields = transpose_state_for_decay(ker)
+        fields = decay_stats_substep_t(fields, cfg, keys, dyn, interpret=True)
+        ker = untranspose_decay_fields(ker, fields)
         ker = ker.replace(time_passed=ker.time_passed + dyn.step_time)
     assert int(np.asarray(ref.decay_counts).sum()) > 30  # non-vacuous
     for f in ("z", "n", "chain_cursor", "decay_counts", "alive", "ptype",
