@@ -52,10 +52,12 @@ class SimConfig:
     # reference's embedded OpenCL kernel, nuclear_forces.py:57-173).
     force_backend: str = "jnp"
 
-    # Decay backend for the statistics-only batched frame: "auto" uses the
-    # fused Mosaic decay kernel (kernels/decay_pallas.py) on TPU and the
-    # jnp path elsewhere; "pallas"/"jnp" force one. Results are identical
-    # up to transcendental ULP in the chain-time record (test-pinned).
+    # Decay backend for the statistics-only batched frame: "pallas" runs
+    # the fused Mosaic decay kernel (kernels/decay_pallas.py); "auto"/
+    # "jnp" use the XLA masked-update path, which MEASURES equal-or-faster
+    # at every batch size (see core/step.py decay_ensemble_step — the
+    # kernel is kept as an opt-in reference point; results identical up to
+    # transcendental ULP in the chain-time record, test-pinned).
     decay_backend: str = "auto"
 
     # Relaxed-precision transcendentals in the Pallas kernel (approximate

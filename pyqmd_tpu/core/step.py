@@ -384,9 +384,14 @@ def decay_ensemble_step(
     # transcendental ULP — tests/test_kernel.py pins it). The scan carries
     # the kernel's BATCH-MINOR (transposed) field views — nuclei on lanes
     # — so the one transpose each way happens outside the substep loop.
-    use_kernel = cfg.decay_backend == "pallas" or (
-        cfg.decay_backend == "auto" and jax.default_backend() == "tpu"
-    )
+    #
+    # Measured verdict (r4, interleaved A/B on TPU): the kernel does NOT
+    # beat XLA's fusion of the masked-update path — 2M C-14: 55-67M vs
+    # 68-80M nucleus-substeps/s (it pays a third table-row gather and
+    # wholesale block traffic); 32k: a wash (93-97M vs 94-105M). "auto"
+    # therefore resolves to jnp; the kernel stays as an opt-in backend
+    # (decay_backend="pallas") and a pinned-equivalent reference point.
+    use_kernel = cfg.decay_backend == "pallas"
     if use_kernel:
         from pyqmd_tpu.kernels.decay_pallas import (
             decay_stats_substep_t,
