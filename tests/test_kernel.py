@@ -298,3 +298,29 @@ def test_decay_frame_kernel_backend_matches_jnp_backend():
         lambda s: decay_ensemble_step(s, cfg, 1.0, 1.0 / 60.0, 2)
     )(states)
     assert int(np.asarray(m["total_alive"]).sum()) > 0
+
+
+def test_packing_and_tile_rows_math():
+    """The capacity→(padded, group) map and the tile-height policy."""
+    from pyqmd_tpu.kernels.forces_pallas import (
+        TILE_B_CAP, TILE_B_CAP_PACKED, _packing, _tile_rows,
+    )
+
+    assert _packing(1) == (1, 128)
+    assert _packing(2) == (2, 64)
+    assert _packing(8) == (8, 16)
+    assert _packing(6) == (8, 16)   # pad up to next divisor of 128
+    assert _packing(16) == (16, 8)
+    assert _packing(65) == (128, 1)
+    assert _packing(128) == (128, 1)
+    assert _packing(200) == (256, 1)  # pad up to next lane multiple
+    assert _packing(256) == (256, 1)
+
+    assert _tile_rows(1) == 8          # never below the sublane tile
+    assert _tile_rows(9) == 16
+    assert _tile_rows(10240) == TILE_B_CAP
+    assert _tile_rows(10240, TILE_B_CAP_PACKED) == TILE_B_CAP_PACKED
+    # padding never exceeds 2x the rows above the minimum tile
+    for rows in (1, 3, 8, 11, 31, 100, 640):
+        t = _tile_rows(rows)
+        assert t >= 8 and (rows <= 8 or t <= 2 * rows)
