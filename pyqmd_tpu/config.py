@@ -113,6 +113,20 @@ class SimConfig:
     origin_x: float = 400.0
     origin_y: float = 400.0
 
+    def __post_init__(self):
+        # Fail at configuration time, not first use (init_state re-checks
+        # for configs built by other means).
+        if self.z + self.n > self.max_particles:
+            raise ValueError(
+                f"A={self.z + self.n} exceeds max_particles={self.max_particles}"
+            )
+        if self.force_backend not in ("jnp", "pallas"):
+            raise ValueError(f"unknown force backend {self.force_backend!r}")
+        if self.decay_backend not in ("auto", "jnp", "pallas"):
+            raise ValueError(f"unknown decay backend {self.decay_backend!r}")
+        if self.integrator not in ("euler", "leapfrog"):
+            raise ValueError(f"unknown integrator {self.integrator!r}")
+
     @property
     def a(self) -> int:
         """Mass number of the initial isotope."""

@@ -189,12 +189,9 @@ def test_leapfrog_converges_faster_than_euler():
 
 
 def test_unknown_integrator_rejected():
-    cfg = SimConfig(z=2, n=2, max_particles=8, integrator="rk9000")
+    # Rejected at configuration time since r4 (SimConfig.__post_init__).
     with pytest.raises(ValueError):
-        force_step(
-            jnp.zeros((8, 2)), jnp.zeros((8, 2)),
-            jnp.zeros(8, jnp.int32), jnp.ones(8, bool), 0.01, cfg,
-        )
+        SimConfig(z=2, n=2, max_particles=8, integrator="rk9000")
 
 
 def test_force_step_differentiable():
