@@ -31,31 +31,47 @@ def _ring_force_local(pos, vel, ptype, alive, dt, cfg: SimConfig, axis: str):
     d_devs = jax.lax.axis_size(axis)
     m = alive.astype(jnp.float32)
 
-    # Global alive count and center of mass (kernel computes these over the
-    # full particle set, nuclear_forces.py:148, 206-208).
+    # Global alive count (kernel computes it over the full particle set,
+    # nuclear_forces.py:148) — position-independent.
     count = jax.lax.psum(jnp.sum(m), axis)
     safe = jnp.maximum(count, 1.0)
-    center = jax.lax.psum(jnp.sum(pos * m[:, None], axis=0), axis) / safe
 
     perm = [(i, (i + 1) % d_devs) for i in range(d_devs)]
 
-    def body(carry, _):
-        j_pos, j_type, j_alive, acc = carry
-        acc = acc + pair_forces_block(pos, ptype, alive, j_pos, j_type, j_alive, cfg)
-        # Rotate the j-block to the next device; overlappable with the next
-        # block's compute by XLA's latency-hiding scheduler.
-        j_pos = jax.lax.ppermute(j_pos, axis, perm)
-        j_type = jax.lax.ppermute(j_type, axis, perm)
-        j_alive = jax.lax.ppermute(j_alive, axis, perm)
-        return (j_pos, j_type, j_alive, acc), None
+    def total_force(p):
+        """Pair sweep (ppermute ring over j-blocks) + CoM spring at
+        positions ``p`` — matches compute_forces, which leapfrog
+        evaluates at two positions (center psum'd per evaluation,
+        nuclear_forces.py:206-208)."""
+        center = jax.lax.psum(jnp.sum(p * m[:, None], axis=0), axis) / safe
 
-    init = (pos, ptype, alive, jnp.zeros_like(pos))
-    (_, _, _, force), _ = jax.lax.scan(body, init, None, length=d_devs)
+        def body(carry, _):
+            j_pos, j_type, j_alive, acc = carry
+            acc = acc + pair_forces_block(p, ptype, alive, j_pos, j_type, j_alive, cfg)
+            # Rotate the j-block to the next device; overlappable with the
+            # next block's compute by XLA's latency-hiding scheduler.
+            j_pos = jax.lax.ppermute(j_pos, axis, perm)
+            j_type = jax.lax.ppermute(j_type, axis, perm)
+            j_alive = jax.lax.ppermute(j_alive, axis, perm)
+            return (j_pos, j_type, j_alive, acc), None
 
-    force = force + com_force(pos, center, safe, cfg) * m[:, None]
-    new_vel = (vel + force * dt) * cfg.damping
-    new_pos = pos + new_vel * dt
+        init = (p, ptype, alive, jnp.zeros_like(p))
+        (_, _, _, force), _ = jax.lax.scan(body, init, None, length=d_devs)
+        return force + com_force(p, center, safe, cfg) * m[:, None]
+
     keep = alive[:, None]
+    if cfg.integrator == "leapfrog":
+        # Velocity-Verlet (core.forces._leapfrog_step semantics): two ring
+        # sweeps per step, CoM re-psum'd at the drifted positions.
+        f1 = total_force(pos)
+        v_half = vel + f1 * (0.5 * dt)
+        new_pos = pos + v_half * dt
+        f2 = total_force(new_pos)
+        new_vel = (v_half + f2 * (0.5 * dt)) * cfg.damping
+    else:
+        force = total_force(pos)
+        new_vel = (vel + force * dt) * cfg.damping
+        new_pos = pos + new_vel * dt
     return jnp.where(keep, new_pos, pos), jnp.where(keep, new_vel, vel)
 
 

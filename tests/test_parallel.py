@@ -318,3 +318,27 @@ def test_sharded_decay_frame_matches_unsharded(eight_devices):
     assert int(m["survivors"]) == int(
         np.asarray((ref_m["z"] == 82) & (ref_m["n"] == 132)).sum()
     )
+
+
+def test_ring_force_leapfrog_matches_dense(eight_devices):
+    """integrator='leapfrog' runs two ring sweeps per step (CoM re-psum'd
+    at the drifted positions) and matches the dense velocity-Verlet step —
+    the ring path no longer silently falls back to Euler (r4)."""
+    cfg = SimConfig.for_isotope(26, 30, pad_to=8, integrator="leapfrog")
+    st = init_state(cfg, seed=0)
+    dt = 1 / 240.0
+
+    dense_pos, dense_vel = jax.jit(
+        lambda *a: force_step(*a, dt, cfg)
+    )(st.pos, st.vel, st.ptype, st.alive)
+
+    mesh = make_mesh((4,), (MODEL_AXIS,), devices=jax.devices()[:4])
+    ring = make_ring_force_step(cfg, mesh)
+    ring_pos, ring_vel = ring(st.pos, st.vel, st.ptype, st.alive, dt)
+
+    np.testing.assert_allclose(
+        np.asarray(ring_pos), np.asarray(dense_pos), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ring_vel), np.asarray(dense_vel), rtol=1e-4, atol=1e-4
+    )
