@@ -9,8 +9,9 @@ spring, semi-implicit Euler with 0.85 damping (or the velocity-Verlet
 upgrade, matching ``core.forces._leapfrog_step``) — but with the TPU-first
 execution shape:
 
-  * grid over batch tiles (TILE_B rows per program), the ensemble being
-    the scale axis (SURVEY §2 P2: kernel tiling);
+  * grid over batch tiles (8-128 rows per program, sized to the batch —
+    see TILE_B_CAP), the ensemble being the scale axis (SURVEY §2 P2:
+    kernel tiling);
   * all state for a tile resident in VMEM; the (P, P) pair interaction is
     computed per row with VPU elementwise ops and accumulated with a
     negated sublane-axis reduction (g symmetric, dx antisymmetric), never
