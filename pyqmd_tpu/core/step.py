@@ -221,14 +221,14 @@ def _batched_overlap(pos, alive, keys, cfg: SimConfig, max_chunk: int = 1024):
 
     f = jax.vmap(lambda p, a, k: resolve_overlaps(p, a, k, cfg))
     b = pos.shape[0]
-    chunk = min(b, max_chunk)
-    if chunk == b:
+    if b <= max_chunk:
         return f(pos, alive, keys)
-    # Pad the batch up to a chunk multiple instead of shrinking the chunk —
-    # a prime batch (e.g. B=8209) would otherwise degrade to chunk=1 and B
-    # sequential dispatches. Padded members are all-dead: resolve_overlaps
-    # is a no-op on them.
-    pad = (-b) % chunk
+    # Minimal-waste chunking (chunk_plan, core/forces.py): fewest chunks
+    # respecting max_chunk, sized evenly, so pad ≤ chunk-1 — a prime batch
+    # (e.g. B=8209) runs as a handful of chunks rather than B sequential
+    # dispatches, and a 10240 batch wastes zero rows. Padded members are
+    # all-dead: resolve_overlaps is a no-op on them.
+    n_chunks, chunk, pad = _forces.chunk_plan(b, max_chunk)
     if pad:
         pos = jnp.concatenate([pos, jnp.zeros((pad, *pos.shape[1:]), pos.dtype)])
         alive = jnp.concatenate(

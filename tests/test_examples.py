@@ -16,20 +16,33 @@ import pytest
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_CASES = {
+# Per-example small-size overrides. The parametrized list below derives
+# from the directory listing, so a NEW example auto-enrolls (with no args)
+# the moment the file lands — forgetting a registry line can no longer
+# leave it untested (round-4 verdict item 1). Add an entry here only when
+# the example needs smaller-than-default sizes for the CPU suite.
+_ARGS = {
     "survival_curve.py": ["--cpu", "--batch", "512"],
     "mixed_population.py": ["--cpu", "--quick"],
     "sharded_survival.py": ["--cpu", "--per-device", "64"],
     "bateman_vs_ensemble.py": ["--cpu", "--batch", "512"],
     "decay_chain_movie.py": ["--cpu", "--frames", "40"],
+    "leapfrog_accuracy.py": [],  # CPU-only, seconds-fast by construction
 }
 
 
-@pytest.mark.parametrize("script", sorted(_CASES))
+def _examples_on_disk():
+    return sorted(
+        f for f in os.listdir(os.path.join(_REPO, "examples"))
+        if f.endswith(".py") and not f.startswith("_")  # _helpers exempt
+    )
+
+
+@pytest.mark.parametrize("script", _examples_on_disk())
 def test_example_runs(script, tmp_path):
     proc = subprocess.run(
         [sys.executable, os.path.join(_REPO, "examples", script)]
-        + _CASES[script],
+        + _ARGS.get(script, []),
         cwd=tmp_path,  # examples write CSVs/PNGs into the CWD
         capture_output=True,
         text=True,
@@ -42,10 +55,7 @@ def test_example_runs(script, tmp_path):
     assert proc.stdout.strip()  # every example reports something
 
 
-def test_examples_list_is_complete():
-    """A new example must be added to the smoke matrix."""
-    on_disk = {
-        f for f in os.listdir(os.path.join(_REPO, "examples"))
-        if f.endswith(".py") and not f.startswith("_")  # _helpers exempt
-    }
-    assert on_disk == set(_CASES), on_disk ^ set(_CASES)
+def test_no_stale_args_entries():
+    """Every _ARGS override points at a real example file."""
+    stale = set(_ARGS) - set(_examples_on_disk())
+    assert not stale, f"_ARGS entries without files: {stale}"

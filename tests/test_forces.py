@@ -237,3 +237,19 @@ def test_prime_batch_chunking_pads_not_degrades():
     assert chunk_p.shape == pos.shape and chunk_v.shape == vel.shape
     np.testing.assert_allclose(np.asarray(full_p), np.asarray(chunk_p), rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(full_v), np.asarray(chunk_v), rtol=0, atol=1e-6)
+
+
+def test_chunk_plan_minimal_waste():
+    """Chunking must never waste more than chunk-1 padded rows (VERDICT r4
+    item 2 — the r4 scheme padded b=10240 up to 2x8192, 60% dead rows)."""
+    from pyqmd_tpu.core.forces import chunk_plan
+
+    for b in (8192, 8209, 10240, 65536, 3, 8193, 100000):
+        for max_chunk in (1024, 8192):
+            n, chunk, pad = chunk_plan(b, max_chunk)
+            assert chunk <= max_chunk
+            assert n * chunk == b + pad
+            assert 0 <= pad < chunk, (b, max_chunk, n, chunk, pad)
+    # The regression case: 10240 over 8192-chunks must waste zero rows.
+    assert chunk_plan(10240, 8192) == (2, 5120, 0)
+    assert chunk_plan(8209, 8192) == (2, 4105, 1)
