@@ -50,16 +50,17 @@ from pyqmd_tpu.config import SimConfig
 from pyqmd_tpu.state import PROTON
 
 TILE_B = 8  # minimum rows per program: the f32 (8, 128) sublane tile
-# Batch-tile height. The device shows BIMODAL grid-step execution
+# Batch-tile height caps. The device shows BIMODAL grid-step execution
 # (docs/PERFORMANCE.md "tile height and the two device modes"): in its
 # overlapped mode, wall time scales with GRID STEPS and tall tiles are
 # huge wins (U-238 b10240 ms/substep measured 8/16/32/64/128 =
 # 11.54/6.05/3.31/1.94/1.19); in its serialized mode, time scales with
 # ROWS and tall tiles cost a few % extra (same sweep re-measured:
-# 11.5/11.5/11.5/12.9/12.3). Caps are chosen never-worse across both
-# modes: 32 for the row-unrolled kernels (equal in serialized mode, 3.5x
-# in overlapped mode), 64 for the packed kernel (fully row-vectorized —
-# tall tiles measured flat-to-better in both modes).
+# 11.5/11.5/11.5/12.9/12.3). The DEFAULT caps are the never-worse point
+# across both modes — 32 for the row-unrolled kernels, 64 for the
+# row-vectorized packed kernel — but since r5 the live caps come from
+# kernels/device_mode.py, whose fenced startup probe detects the mode
+# and raises both caps to 128 when the device is overlapped.
 TILE_B_CAP = 32
 TILE_B_CAP_PACKED = 64
 LANES = 128
@@ -406,14 +407,20 @@ def _packing(p: int) -> tuple[int, int]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "interpret")
+    jax.jit, static_argnames=("cfg", "interpret", "tile_cap")
 )
-def _force_step_batched(pos, vel, ptype, alive, dt, cfg: SimConfig, interpret=False):
+def _force_step_batched(
+    pos, vel, ptype, alive, dt, cfg: SimConfig, interpret=False, tile_cap=None
+):
     """Fused kernel over a batch: pos/vel (B, P, 2), ptype/alive (B, P).
 
     Any P is accepted: capacities below 128 lanes are packed G nuclei per
     row (G = 128 // next_pow2(P)); capacities above are padded to a lane
     multiple. The r3 ``P % 128 == 0`` restriction is gone.
+
+    ``tile_cap`` overrides the batch-tile row cap (the device-mode probe
+    uses it to time specific tile heights); None = the live caps from
+    kernels/device_mode.py.
     """
     b, p = ptype.shape
     p_sub, group = _packing(p)
@@ -427,9 +434,12 @@ def _force_step_batched(pos, vel, ptype, alive, dt, cfg: SimConfig, interpret=Fa
 
     # Pack G nuclei per 128-lane row (C-order reshape keeps each nucleus's
     # slots contiguous, matching the kernel's static group mask).
-    tile_b = _tile_rows(
-        -(-b // group), TILE_B_CAP_PACKED if group > 1 else TILE_B_CAP
-    )
+    if tile_cap is None:
+        from pyqmd_tpu.kernels.device_mode import current_caps
+
+        cap_unrolled, cap_packed = current_caps()
+        tile_cap = cap_packed if group > 1 else cap_unrolled
+    tile_b = _tile_rows(-(-b // group), tile_cap)
     row_quota = group * tile_b  # nuclei consumed per grid program
     pad_b = (-b) % row_quota
     if pad_b:

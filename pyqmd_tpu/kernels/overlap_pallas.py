@@ -121,9 +121,8 @@ def _overlap_kernel(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def _overlap_batched(pos, alive, u, cfg: SimConfig, interpret=False):
-    from pyqmd_tpu.kernels.forces_pallas import (
-        TILE_B_CAP, TILE_B_CAP_PACKED, _packing, _tile_rows,
-    )
+    from pyqmd_tpu.kernels.device_mode import current_caps
+    from pyqmd_tpu.kernels.forces_pallas import _packing, _tile_rows
 
     b, p = alive.shape
     p_sub, group = _packing(p)
@@ -133,11 +132,11 @@ def _overlap_batched(pos, alive, u, cfg: SimConfig, interpret=False):
         alive = jnp.pad(alive, ((0, 0), (0, pad_p)))
         u = jnp.pad(u, ((0, 0), (0, pad_p)))
     # Tall batch tiles: same two-device-mode tradeoff as the force kernel
-    # (see forces_pallas.TILE_B_CAP): unrolled rows cap at 32, packed
-    # (row-vectorized) rows at 64.
-    tile_b = _tile_rows(
-        -(-b // group), TILE_B_CAP_PACKED if group > 1 else TILE_B_CAP
-    )
+    # (see forces_pallas.TILE_B_CAP). Live caps come from the device-mode
+    # probe (kernels/device_mode.py): 32 unrolled / 64 packed by default,
+    # both 128 when the device's overlapped grid mode is detected.
+    cap_unrolled, cap_packed = current_caps()
+    tile_b = _tile_rows(-(-b // group), cap_packed if group > 1 else cap_unrolled)
     row_quota = group * tile_b
     pad_b = (-b) % row_quota
     if pad_b:

@@ -324,3 +324,36 @@ def test_packing_and_tile_rows_math():
     for rows in (1, 3, 8, 11, 31, 100, 640):
         t = _tile_rows(rows)
         assert t >= 8 and (rows <= 8 or t <= 2 * rows)
+
+
+def test_device_mode_caps():
+    """Mode selection drives the live tile caps (r5: adaptive caps)."""
+    from pyqmd_tpu.kernels import device_mode as dm
+
+    try:
+        assert dm.set_device_mode("overlapped") == (128, 128)
+        assert dm.current_caps() == (128, 128)
+        assert dm.set_device_mode("serialized") == dm.CONSERVATIVE_CAPS
+        with pytest.raises(ValueError):
+            dm.set_device_mode("bogus")
+        # Off-TPU the probe declines and keeps the conservative caps.
+        assert dm.probe_device_mode(force=True) == "unknown"
+        assert dm.current_caps() == dm.CONSERVATIVE_CAPS
+    finally:
+        dm.set_device_mode("unknown")  # leave the suite in the default state
+
+
+def test_tile_cap_override_equivalence():
+    """The probe's explicit tile_cap produces the same numbers as the
+    default cap (it only changes the grid shape)."""
+    from pyqmd_tpu.core.init import ensemble_init
+    from pyqmd_tpu.kernels.forces_pallas import _force_step_batched
+
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8, force_backend="pallas")
+    states = ensemble_init(cfg, 64, seed=3)
+    dt = cfg.effective_dt()
+    args = (states.pos, states.vel, states.ptype, states.alive)
+    p0, v0 = _force_step_batched(*args, dt, cfg, interpret=True)
+    p1, v1 = _force_step_batched(*args, dt, cfg, interpret=True, tile_cap=8)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
