@@ -370,9 +370,14 @@ def decay_ensemble_step(
     # The stats-only decay path never reads or writes the ejecta ring, so
     # the (B, E) ejecta leaves ride OUTSIDE the scan carry entirely (None
     # is an empty pytree subtree): zero per-substep HBM traffic for them.
+    # Since r5, positions, velocities and the (post-scan-replaced) rng
+    # leaf ride outside too: with ``stats_only`` the decay transition
+    # neither reads nor writes them (apply_decay computes no CoM and skips
+    # the velocity damping), and at pad_to=8 the (B, P, 2) pos/vel pair
+    # was the single widest carry component (128 of ~424 B/nucleus).
     ej_fields = (
         "ej_pos", "ej_vel", "ej_type", "ej_age", "ej_life", "ej_alive",
-        "ej_cursor",
+        "ej_cursor", "pos", "vel", "rng",
     )
     ej_saved = {f: getattr(states, f) for f in ej_fields}
     states = states.replace(**{f: None for f in ej_fields})
@@ -407,17 +412,42 @@ def decay_ensemble_step(
         fields, _ = jax.lax.scan(body_t, fields, step_keys)
         states = untranspose_decay_fields(states, fields)
     else:
+        # Narrow the integer carry leaves at the scan boundary (r5,
+        # VERDICT item 5): the scan's HBM traffic is the carry width, and
+        # Z < 128, N < 192, particle types < 6 and decay types < 8 all
+        # fit uint8 (decay counts fit uint16). The casts happen INSIDE
+        # the substep body, where XLA fuses them into the update — the
+        # compute still runs in int32, so trajectories stay bitwise
+        # identical; only the between-substep representation narrows
+        # (~424 → ~122 B/nucleus at pad_to=8 with the pos/vel/rng
+        # exclusion above).
+        narrow_to = {
+            "ptype": jnp.uint8, "z": jnp.uint8, "n": jnp.uint8,
+            "decay_counts": jnp.uint16,
+            "chain_z0": jnp.uint8, "chain_n0": jnp.uint8,
+            "chain_dtype": jnp.uint8, "chain_z1": jnp.uint8,
+            "chain_n1": jnp.uint8,
+        }
+        wide_dtypes = {f: getattr(states, f).dtype for f in narrow_to}
+
+        def cast(st, dtypes):
+            return st.replace(
+                **{f: getattr(st, f).astype(d) for f, d in dtypes.items()}
+            )
+
         def body(st, keys):
-            # st's ejecta leaves are None (empty subtrees): the stats-only
-            # decay path neither reads nor writes them.
+            # st's ejecta/pos/vel/rng leaves are None (empty subtrees):
+            # the stats-only decay path neither reads nor writes them.
+            st = cast(st, wide_dtypes)
             st = jax.vmap(
                 lambda s, k: maybe_decay(
                     s, cfg, k, dyn, row_tables=True, stats_only=True
                 )[0]
             )(st, keys)
-            return st, None
+            return cast(st, narrow_to), None
 
-        states, _ = jax.lax.scan(body, states, step_keys)
+        states, _ = jax.lax.scan(body, cast(states, narrow_to), step_keys)
+        states = cast(states, wide_dtypes)
     states = states.replace(**ej_saved)
     states = states.replace(
         rng=jax.vmap(lambda k: jax.random.key_data(k).astype(jnp.uint32))(k3[:, 2]),
