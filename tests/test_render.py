@@ -14,6 +14,7 @@ from pyqmd_tpu.core.init import init_state
 from pyqmd_tpu.render import png_bytes, render_to_host, write_apng, write_png
 from pyqmd_tpu.state import (
     ALPHA,
+    ELECTRON,
     GAMMA,
     NEUTRON,
     PARTICLE_COLORS,
@@ -642,3 +643,70 @@ def test_gif_lzw_run_coalesced_bitwise_matches_reference():
     cases.append((np.zeros((0,), np.uint8), 2))  # empty
     for idx, mcs in cases:
         assert _lzw_true(idx, mcs) == _lzw_true_ref(idx, mcs)
+
+
+def test_packed_frame_bitwise_matches_rgb():
+    """render_frame_packed + unpack_frame must reproduce the RGB frame
+    byte-for-byte, including ejecta fade colors (VERDICT r4 item 4: the
+    palettized interactive payload must not change pixels)."""
+    from pyqmd_tpu.render import render_frame, render_frame_packed, unpack_frame
+
+    cfg = SimConfig.for_isotope(6, 8, pad_to=16, max_ejecta=16)
+    st = init_state(cfg, seed=3)
+    # Live ejecta of every type with distinct fade fractions (distinct
+    # palette entries), plus one dead slot.
+    n_ej = min(6, st.ejecta_capacity)
+    com = np.asarray(st.center_of_mass())
+    for i in range(n_ej):
+        st = st.replace(
+            ej_pos=st.ej_pos.at[i].set(
+                jax.numpy.array([com[0] - 25 + 10.0 * i, com[1] + 18.0])
+            ),
+            ej_type=st.ej_type.at[i].set([ALPHA, ELECTRON, GAMMA, NEUTRON,
+                                          PROTON, ALPHA][i]),
+            ej_age=st.ej_age.at[i].set(0.37 * i),
+            ej_life=st.ej_life.at[i].set(3.0 if i else np.inf),
+            ej_alive=st.ej_alive.at[i].set(i != 2),
+        )
+    cam = (float(com[0]), float(com[1]))
+    rgb = np.asarray(render_frame(st, cam, 3.0, W, H, ruler=True))
+    packed = np.asarray(render_frame_packed(st, cam, 3.0, W, H, ruler=True))
+    assert packed.shape == (H + 2, W) and packed.dtype == np.uint8
+    out = unpack_frame(packed)
+    assert out is not None, "device exactness flag unset"
+    assert np.array_equal(out, rgb)
+
+
+def test_packed_frame_palette_overflow_raises():
+    from pyqmd_tpu.render import render_frame_packed
+
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)
+    st = init_state(cfg, seed=0)
+    with pytest.raises(ValueError):
+        render_frame_packed(st, (400.0, 400.0), 4.0, 40, 30)  # 3*K > width
+
+
+def test_pipelined_reader_delivers_all_frames_one_late():
+    from pyqmd_tpu.render import (
+        PipelinedFrameReader, render_frame, render_frame_packed,
+    )
+
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8, max_ejecta=16)
+    st = init_state(cfg, seed=1)
+    cams = [(400.0 + 5.0 * i, 400.0) for i in range(4)]
+    expected = [
+        np.asarray(render_frame(st, c, 4.0, W, H)) for c in cams
+    ]
+    reader = PipelinedFrameReader()
+    got = []
+    for c in cams:
+        out = reader.submit(render_frame_packed(st, c, 4.0, W, H))
+        if out is not None:
+            got.append(out)
+    assert len(got) == len(cams) - 1  # one frame of latency
+    tail = reader.flush()
+    assert tail is not None
+    got.append(tail)
+    for g, e in zip(got, expected):
+        assert np.array_equal(g, e)
+    assert reader.flush() is None
