@@ -211,6 +211,72 @@ def chain_populations_csv(result: dict) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _chain_walk(
+    z: int, n: int, max_nodes: int
+) -> tuple[
+    list[tuple[int, int]],
+    list[tuple[int, int, float]],
+    list[tuple],
+]:
+    """BFS over the reachable decay DAG shared by the graph builders.
+
+    Returns ``(nodes, edges, specs)``: isotopes in BFS order, real-branch
+    edges ``(parent_idx, child_idx, renormalized_prob)``, and one sojourn
+    spec per node describing how the engine draws its half-life
+    (core/decay.py daughter refresh — one U(0,1) draw per nucleus on
+    arrival, data/tables.py:half_life):
+
+    - ``("stable",)`` — infinite/zero half-life or no real decay mode,
+    - ``("exp", lam)`` — tabulated: a single exponential rate,
+    - ``("mix", lo, hi, scale)`` — estimator bucket: per-nucleus half-life
+      ``10**(lo + U(0,1)*(hi-lo)) * scale`` (decay_chains.py:309-328).
+    """
+    from pyqmd_tpu.data.chains import decay_branches
+    from pyqmd_tpu.data.estimator import (
+        STABLE_THRESHOLD,
+        bucket_params,
+        stability_score,
+    )
+    from pyqmd_tpu.data.halflives import HALF_LIVES
+    from pyqmd_tpu.state import DECAY_NONE
+
+    nodes: list[tuple[int, int]] = [(z, n)]
+    index = {(z, n): 0}
+    edges: list[tuple[int, int, float]] = []  # (parent_idx, child_idx, prob)
+    specs: list[tuple] = []
+    i = 0
+    while i < len(nodes):
+        zz, nn = nodes[i]
+        branches = [
+            b for b in decay_branches(zz, nn) if b[2] != DECAY_NONE
+        ]
+        spec: tuple = ("stable",)
+        if branches:
+            if (zz, nn) in HALF_LIVES:
+                hl = float(HALF_LIVES[(zz, nn)])
+                if math.isfinite(hl) and hl > 0:
+                    spec = ("exp", math.log(2) / hl)
+            else:
+                score = stability_score(zz, nn)
+                if score < STABLE_THRESHOLD:
+                    spec = ("mix",) + bucket_params(score)
+        specs.append(spec)
+        if spec[0] != "stable":
+            total = sum(b[3] for b in branches)
+            for bz, bn, _mode, prob in branches:
+                key = (bz, bn)
+                if key not in index:
+                    if len(nodes) >= max_nodes:
+                        raise ValueError(
+                            f"decay graph of ({z},{n}) exceeds {max_nodes} nodes"
+                        )
+                    index[key] = len(nodes)
+                    nodes.append(key)
+                edges.append((i, index[key], prob / total))
+        i += 1
+    return nodes, edges, specs
+
+
 def decay_chain_graph(
     z: int, n: int, max_nodes: int = 128
 ) -> tuple[list[tuple[int, int]], np.ndarray]:
@@ -225,46 +291,22 @@ def decay_chain_graph(
     are renormalized to sum to 1 over real decay modes (the predictor
     reports a lone branch as 0.9, mirroring the reference).
 
-    Accuracy note (ADVICE r3): for isotopes NOT in the half-life DB the
-    rate uses ``half_life_host``'s deterministic log-midpoint (u = 0.5) of
-    the estimator bucket, but the engine samples each nucleus's half-life
-    log-uniformly from that bucket — so theory curves built from this
-    matrix are exact on tabulated chain segments and only approximate on
-    predictor-estimated nodes (rare-branch sub-chains, ~2e-4 populations
-    in the natural series): E[exp(-λt)] under the sampled distribution
-    differs from exp(-λ_mid·t).
+    Estimator-bucket nodes get the deterministic log-midpoint rate
+    (u = 0.5) — a single-λ summary view. The ``bateman_*`` functions do
+    NOT use this matrix for such nodes: they expand the bucket's
+    log-uniform half-life distribution exactly (see
+    :func:`_expanded_decay_graph`).
     """
-    from pyqmd_tpu.data.chains import decay_branches
-    from pyqmd_tpu.state import DECAY_NONE
-
-    nodes: list[tuple[int, int]] = [(z, n)]
-    index = {(z, n): 0}
-    edges: list[tuple[int, int, float]] = []  # (parent_idx, child_idx, prob)
+    nodes, edges, specs = _chain_walk(z, n, max_nodes)
     lam: list[float] = []
-    i = 0
-    while i < len(nodes):
-        zz, nn = nodes[i]
-        hl = half_life_host(zz, nn)
-        branches = [
-            b for b in decay_branches(zz, nn) if b[2] != DECAY_NONE
-        ]
-        if not math.isfinite(hl) or hl <= 0 or not branches:
+    for spec in specs:
+        if spec[0] == "exp":
+            lam.append(spec[1])
+        elif spec[0] == "mix":
+            lo, hi, scale = spec[1:]
+            lam.append(math.log(2) / (10.0 ** (lo + 0.5 * (hi - lo)) * scale))
+        else:
             lam.append(0.0)
-            i += 1
-            continue
-        lam.append(math.log(2) / hl)
-        total = sum(b[3] for b in branches)
-        for bz, bn, _mode, prob in branches:
-            key = (bz, bn)
-            if key not in index:
-                if len(nodes) >= max_nodes:
-                    raise ValueError(
-                        f"decay graph of ({z},{n}) exceeds {max_nodes} nodes"
-                    )
-                index[key] = len(nodes)
-                nodes.append(key)
-            edges.append((i, index[key], prob / total))
-        i += 1
     k = len(nodes)
     a = np.zeros((k, k), np.float64)
     for j in range(k):
@@ -272,6 +314,65 @@ def decay_chain_graph(
     for p, c, prob in edges:
         a[c, p] += lam[p] * prob
     return nodes, a
+
+
+def _expanded_decay_graph(
+    z: int, n: int, max_nodes: int = 128, quad: int = 32
+) -> tuple:
+    """Hyperexponential expansion of the decay DAG: the EXACT ensemble
+    expectation under the engine's half-life sampling.
+
+    The engine draws an estimated isotope's half-life once per nucleus on
+    arrival, log-uniformly over the estimator bucket (core/decay.py
+    daughter refresh; decay_chains.py:309-328) — so a bucket node's
+    sojourn time is a *mixture* of exponentials, and the population is
+    not a single-rate ODE. But a mixture of exponentials is exactly a
+    probabilistic fan-out into exponential sub-states: replace each
+    bucket node with ``quad`` Gauss-Legendre sub-states (rate
+    λ_m = ln2 / T(u_m), arrival weight w_m), and the expanded system is a
+    linear ODE again — exact up to 1-D quadrature of the smooth
+    E[exp(-λ(u)·t)] integrand, with no cross-node coupling because each
+    nucleus's draws at different nodes are independent and a DAG is
+    visited at most once.
+
+    Returns ``(nodes, a, state_of, entry_w, lam_s, out_frac)``: public
+    BFS nodes, the (S, S) expanded rate matrix, each node's
+    expanded-state indices and arrival weights, the per-state rates, and
+    each state's outflow fractions (for the stiffness elimination in
+    :func:`_expanded_pops`).
+    """
+    nodes, edges, specs = _chain_walk(z, n, max_nodes)
+    state_of: list[np.ndarray] = []
+    entry_w: list[np.ndarray] = []
+    lam_all: list[float] = []
+    for spec in specs:
+        if spec[0] == "mix":
+            lo, hi, scale = spec[1:]
+            x, w = np.polynomial.legendre.leggauss(quad)
+            u = 0.5 * (x + 1.0)
+            w = 0.5 * w
+            lam = math.log(2) / (10.0 ** (lo + u * (hi - lo)) * scale)
+        elif spec[0] == "exp":
+            lam, w = np.array([spec[1]]), np.array([1.0])
+        else:
+            lam, w = np.array([0.0]), np.array([1.0])
+        idx = np.arange(len(lam_all), len(lam_all) + lam.size)
+        state_of.append(idx)
+        entry_w.append(w)
+        lam_all.extend(lam.tolist())
+    lam_s = np.asarray(lam_all, np.float64)
+    s = lam_s.size
+    a = np.zeros((s, s), np.float64)
+    a[np.arange(s), np.arange(s)] = -lam_s
+    # Per-state outflow fractions (sum to 1 for decaying states): the
+    # branch probability times the child's arrival quadrature weight.
+    out_frac: list[list[tuple[int, float]]] = [[] for _ in range(s)]
+    for p, c, prob in edges:
+        for sp in state_of[p]:
+            a[state_of[c], sp] += lam_s[sp] * prob * entry_w[c]
+            for sc, wc in zip(state_of[c], entry_w[c]):
+                out_frac[sp].append((int(sc), prob * float(wc)))
+    return nodes, a, state_of, entry_w, lam_s, out_frac
 
 
 def _expm_taylor(m: np.ndarray) -> np.ndarray:
@@ -294,43 +395,109 @@ def _expm_taylor(m: np.ndarray) -> np.ndarray:
     return out
 
 
-def bateman_populations(
-    z: int, n: int, times: np.ndarray, max_nodes: int = 128
-) -> dict:
-    """Analytical expected populations of every isotope in the decay chain
-    of (z, n) at the given times — the theory curve for
-    :func:`chain_populations` (same ``{"times", "populations"}`` shape, but
-    population *fractions* of the initial ensemble, not member counts).
+_FAST_LAMT = 1e4  # λ·t above this → exp(-λ·t) ≡ 0 in f64 (e^-1e4 underflows)
 
-    Solves the Bateman equations dN/dt = A·N (A from
-    :func:`decay_chain_graph`) by matrix exponential, which handles the
-    chain DB's branch points (e.g. Po-218, Bi-214) and arbitrary-length
-    series without the classical formula's catastrophic cancellation for
-    near-equal decay constants. The reference has no analytical
-    machinery at all; this is the validation companion the statistical
-    workflow needs.
 
-    Exact only on tabulated chain segments: predictor-estimated nodes use
-    the estimator bucket's log-midpoint rate while the engine samples
-    log-uniformly per nucleus (see :func:`decay_chain_graph`).
+def _expanded_pops(
+    z: int, n: int, times: np.ndarray, max_nodes: int, quad: int
+):
+    """Shared solver: expanded-state populations at each time.
+
+    Stiffness handling: the expansion's fastest sub-states (a
+    microsecond-bucket node holds rates up to ~7e5/s) make expm(A·t)
+    overflow at geological times. A state with λ·t > ``_FAST_LAMT`` is
+    numerically EMPTY at time t (its survival underflows to exactly 0.0)
+    and acts as an instantaneous router: per evaluation time, such states
+    are eliminated by forwarding their inflow (initial mass and incoming
+    rate terms) directly to their slow descendants through the outflow
+    fractions — exact in f64, and it bounds the reduced matrix norm so
+    expm stays well-conditioned at every t.
+
+    Returns ``(nodes, state_of, lam_s, pops, times)`` with ``pops`` of
+    shape (T, S) over expanded states.
     """
     try:
         from scipy.linalg import expm
     except ImportError:  # pragma: no cover - scipy is in the image
         expm = _expm_taylor
 
-    nodes, a = decay_chain_graph(z, n, max_nodes=max_nodes)
+    nodes, a, state_of, entry_w, lam_s, out_frac = _expanded_decay_graph(
+        z, n, max_nodes=max_nodes, quad=quad
+    )
     times = np.asarray(times, np.float64)
-    n0 = np.zeros(len(nodes), np.float64)
-    n0[0] = 1.0
-    pops = np.empty((times.size, len(nodes)), np.float64)
+    s = lam_s.size
+    n0 = np.zeros(s, np.float64)
+    n0[state_of[0]] = entry_w[0]
+    pops = np.empty((times.size, s), np.float64)
     for ti, t in enumerate(times.reshape(-1)):
-        pops[ti] = np.real(expm(a * float(t)) @ n0)
-    pops = np.clip(pops, 0.0, 1.0)
+        t = float(t)
+        fast = lam_s * t > _FAST_LAMT
+        if not fast.any():
+            pops[ti] = np.real(expm(a * t) @ n0)
+            continue
+        # Route mass entering a fast state to its slow descendants (the
+        # decay graph is a DAG, so the recursion terminates).
+        memo: dict[int, list[tuple[int, float]]] = {}
+
+        def route(si: int) -> list[tuple[int, float]]:
+            if not fast[si]:
+                return [(si, 1.0)]
+            got = memo.get(si)
+            if got is None:
+                acc: dict[int, float] = {}
+                for sc, f in out_frac[si]:
+                    for st2, f2 in route(sc):
+                        acc[st2] = acc.get(st2, 0.0) + f * f2
+                got = memo[si] = list(acc.items())
+            return got
+
+        slow = np.flatnonzero(~fast)
+        pos = {int(si): j for j, si in enumerate(slow)}
+        n0r = np.zeros(slow.size, np.float64)
+        for si in range(s):
+            if n0[si]:
+                for st2, f in route(si):
+                    n0r[pos[st2]] += n0[si] * f
+        ar = np.zeros((slow.size, slow.size), np.float64)
+        for j, si in enumerate(slow):
+            si = int(si)
+            ar[j, j] = -lam_s[si]
+            for sc, f in out_frac[si]:
+                for st2, f2 in route(sc):
+                    ar[pos[st2], j] += lam_s[si] * f * f2
+        row = np.zeros(s, np.float64)
+        row[slow] = np.real(expm(ar * t) @ n0r)
+        pops[ti] = row
+    return nodes, state_of, lam_s, np.clip(pops, 0.0, 1.0), times
+
+
+def bateman_populations(
+    z: int, n: int, times: np.ndarray, max_nodes: int = 128, quad: int = 32
+) -> dict:
+    """Analytical expected populations of every isotope in the decay chain
+    of (z, n) at the given times — the theory curve for
+    :func:`chain_populations` (same ``{"times", "populations"}`` shape, but
+    population *fractions* of the initial ensemble, not member counts).
+
+    Solves the Bateman equations dN/dt = A·N by matrix exponential, which
+    handles the chain DB's branch points (e.g. Po-218, Bi-214) and
+    arbitrary-length series without the classical formula's catastrophic
+    cancellation for near-equal decay constants. Predictor-estimated
+    nodes — whose per-nucleus half-life the engine samples log-uniformly
+    from the estimator bucket — are expanded into ``quad``
+    Gauss-Legendre exponential sub-states (:func:`_expanded_decay_graph`),
+    so the curve is the exact ensemble expectation everywhere, tabulated
+    or estimated. The reference has no analytical machinery at all; this
+    is the validation companion the statistical workflow needs.
+    """
+    nodes, state_of, _lam_s, pops, times = _expanded_pops(
+        z, n, times, max_nodes, quad
+    )
     return {
         "times": times,
         "populations": {
-            f"{zz}:{nn}": pops[:, j] for j, (zz, nn) in enumerate(nodes)
+            f"{zz}:{nn}": pops[:, state_of[j]].sum(axis=-1)
+            for j, (zz, nn) in enumerate(nodes)
         },
     }
 
@@ -342,14 +509,19 @@ def bateman_activity(z: int, n: int, times: np.ndarray, max_nodes: int = 128) ->
     species instead of for the parent alone. Same ``{"times",
     "populations"}`` shape as :func:`bateman_populations` (so
     :func:`chain_populations_csv` exports it), with activities in the
-    value arrays."""
-    nodes, a = decay_chain_graph(z, n, max_nodes=max_nodes)
-    lam = {f"{zz}:{nn}": -a[j, j] for j, (zz, nn) in enumerate(nodes)}
-    pops = bateman_populations(z, n, times, max_nodes=max_nodes)
+    value arrays. For predictor-estimated nodes the activity is the exact
+    mixture expectation Σ_m λ_m·N_m(t) over the expanded sub-states
+    (:func:`_expanded_decay_graph`), not λ_mid·N(t)."""
+    nodes, state_of, lam_s, pops, times = _expanded_pops(
+        z, n, times, max_nodes, quad=32
+    )
     return {
-        "times": pops["times"],
+        "times": times,
         "populations": {
-            k: lam[k] * np.asarray(v) for k, v in pops["populations"].items()
+            f"{zz}:{nn}": (pops[:, state_of[j]] * lam_s[state_of[j]]).sum(
+                axis=-1
+            )
+            for j, (zz, nn) in enumerate(nodes)
         },
     }
 

@@ -202,3 +202,38 @@ def test_bateman_activity():
     ratio = float(a2["populations"]["83:131"][0] / a2["populations"]["82:132"][0])
     expect = l2 / (l2 - l1) * (1.0 - math.exp(-(l2 - l1) * tt[0]))
     assert abs(ratio - expect) < 1e-9 * expect
+
+
+def test_bateman_exact_on_predictor_estimated_nodes():
+    """Theory must match the engine on a chain of PREDICTOR-ESTIMATED
+    isotopes, where each nucleus samples its half-life log-uniformly from
+    the estimator bucket (decay_chains.py:309-328 semantics) — the case
+    the old log-midpoint rate matrix got wrong (VERDICT r4 item 8). Root:
+    O-12 (8,4), untabulated, minutes bucket spanning [6 s, 6e4 s]."""
+    from pyqmd_tpu.analysis import bateman_populations, chain_populations
+
+    batch = 4096
+    measured = chain_populations(
+        8, 4, batch=batch, frames=6, half_lives=2.0, substeps=4, seed=2
+    )
+    t = np.asarray(measured["times"])
+    theory = bateman_populations(8, 4, t)
+    sigma = 1.0 / math.sqrt(batch)
+    checked = 0
+    for key, th in theory["populations"].items():
+        ms = np.asarray(measured["populations"].get(key, [0] * len(th)))
+        th = np.asarray(th)
+        sel = th > 0.05
+        if not sel.any():
+            continue
+        checked += 1
+        diff = np.abs(ms[sel] / batch - th[sel])
+        assert diff.max() < 5 * sigma, (key, diff.max())
+    assert checked >= 2  # root + at least one estimated descendant
+    # The exact mixture expectation is decisively different from the
+    # discarded log-midpoint model: at t = 3·T_mid the midpoint predicts
+    # 2^-3 = 12.5% survival, the log-uniform mixture ~33% — the engine
+    # data above can only match one of them.
+    mid_model = 0.5 ** (t[-1] / 600.0)
+    root = theory["populations"]["8:4"][-1]
+    assert abs(root - mid_model) > 8 * sigma
