@@ -365,7 +365,7 @@ def bench_render(fps_frames=60):
             render_frame_packed(st, (400.0, 400.0), 10.0, 800, 600)
         )
         delivered += out is not None
-    delivered += reader.flush() is not None
+    delivered += len(reader.flush())
     ifps = delivered / (time.perf_counter() - t0)
 
     n_rb = max(5, fps_frames // 12)

@@ -20,16 +20,18 @@ the reference's 60 fps budget (VERDICT r4 item 4):
   the RGB path instead of corrupting the frame).
 
 * **Pipelined copies.** Tunnel host-copies overlap: issuing
-  ``copy_to_host_async`` for frame t and blocking on frame t-1 hides
-  most of the RPC behind the next frame's render (measured 40.5 ->
-  22.6 ms/frame at depth 2 for the 480 KB index payload). The
-  ``PipelinedFrameReader`` below is that double buffer; it shows each
-  frame one frame late, which is imperceptible at interactive rates.
+  ``copy_to_host_async`` for frame t and blocking only on frame
+  t-depth hides the RPCs behind each other (measured for the 480 KB
+  index payload: 31 fps at depth 1, 53 at depth 4, 61 at depth 6). The
+  ``PipelinedFrameReader`` below is that queue; it shows each frame
+  ``depth`` frames late — a streaming viewer's latency/throughput knob.
 
 RGB export paths (PNG/APNG/GIF, golden-hashed) are untouched.
 """
 
 from __future__ import annotations
+
+import collections
 
 import jax
 import jax.numpy as jnp
@@ -134,28 +136,38 @@ def unpack_frame(packed: np.ndarray) -> np.ndarray | None:
 
 
 class PipelinedFrameReader:
-    """Depth-2 double buffer over the tunnel: submit frame t's packed
-    array, receive frame t-1's RGB. Hides the readback RPC behind the
-    next frame's render (measured 40.5 -> 22.6 ms/frame at 800x600).
+    """Depth-N frame queue over the tunnel: submit frame t's packed
+    array, receive frame t-depth's RGB once the queue is full. Keeping
+    ``depth`` async host copies in flight overlaps their RPCs (measured
+    800x600 on the tunnel: 31 fps at depth 1 → 53 at depth 4 → 61 at
+    depth 6, beating the reference display's 60 fps cap,
+    nuclear_sim.py:594). The cost is ``depth`` frames of display latency
+    (~100 ms at 60 fps and depth 6) — the streaming-viewer tradeoff;
+    drop ``depth`` for lower latency at lower throughput.
     """
 
-    def __init__(self) -> None:
-        self._pending = None
+    def __init__(self, depth: int = 6) -> None:
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        self._depth = depth
+        self._queue: collections.deque = collections.deque()
 
     def submit(self, packed) -> np.ndarray | None:
-        """Start the async host copy of ``packed``; return the PREVIOUS
-        frame's RGB (or None on the first call / palette miss)."""
+        """Start the async host copy of ``packed``; once ``depth`` frames
+        are in flight, return the OLDEST frame's RGB (None while the
+        pipeline fills, or on a palette miss)."""
         packed.copy_to_host_async()
-        out = None
-        if self._pending is not None:
-            out = unpack_frame(np.asarray(self._pending))
-        self._pending = packed
-        return out
+        self._queue.append(packed)
+        if len(self._queue) > self._depth:
+            return unpack_frame(np.asarray(self._queue.popleft()))
+        return None
 
-    def flush(self) -> np.ndarray | None:
-        """Drain the last submitted frame (end of the loop)."""
-        out = None
-        if self._pending is not None:
-            out = unpack_frame(np.asarray(self._pending))
-        self._pending = None
+    def flush(self) -> list[np.ndarray]:
+        """Drain every in-flight frame (end of the loop), oldest first.
+        Palette-miss frames (None from :func:`unpack_frame`) are dropped."""
+        out = []
+        while self._queue:
+            rgb = unpack_frame(np.asarray(self._queue.popleft()))
+            if rgb is not None:
+                out.append(rgb)
         return out

@@ -693,20 +693,22 @@ def test_pipelined_reader_delivers_all_frames_one_late():
 
     cfg = SimConfig.for_isotope(2, 2, pad_to=8, max_ejecta=16)
     st = init_state(cfg, seed=1)
-    cams = [(400.0 + 5.0 * i, 400.0) for i in range(4)]
+    cams = [(400.0 + 5.0 * i, 400.0) for i in range(6)]
     expected = [
         np.asarray(render_frame(st, c, 4.0, W, H)) for c in cams
     ]
-    reader = PipelinedFrameReader()
+    depth = 3
+    reader = PipelinedFrameReader(depth=depth)
     got = []
     for c in cams:
         out = reader.submit(render_frame_packed(st, c, 4.0, W, H))
         if out is not None:
             got.append(out)
-    assert len(got) == len(cams) - 1  # one frame of latency
-    tail = reader.flush()
-    assert tail is not None
-    got.append(tail)
+    assert len(got) == len(cams) - depth  # `depth` frames of latency
+    got.extend(reader.flush())
+    assert len(got) == len(cams)
     for g, e in zip(got, expected):
         assert np.array_equal(g, e)
-    assert reader.flush() is None
+    assert reader.flush() == []
+    with pytest.raises(ValueError):
+        PipelinedFrameReader(depth=0)
