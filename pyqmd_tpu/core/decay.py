@@ -108,6 +108,95 @@ def _first_rank_masks(state: NucleusState):
     return alive_p, alive_n, prank, nrank
 
 
+# --- packed nucleon bitfields (decay-only statistics path) -----------------
+#
+# The rank-mask adjustment above runs ~P lanes of (B, P) work per substep;
+# with P padded onto the 128-wide lane axis that is mostly wasted lanes
+# (measured +1.7 ns/nucleus-substep of the 2M C-14 decay-only budget, r5).
+# The stats frame instead carries (alive, is-proton) as ceil(P/32) uint32
+# words per nucleus — slot j lives in word j//32 bit j%32, so "the first
+# rm alive protons" is a lowest-set-bits extraction: dense (B, W) ops on
+# the batch axis. Removal counts are at most 2 (_REMOVE_P/_REMOVE_N), so
+# two x & (-x) rounds per word suffice. Pack/unpack happens once per
+# FRAME, outside the substep scan; the resulting alive/ptype are bitwise
+# identical to the rank-mask path (pinned by tests/test_batch_native.py).
+
+
+def pack_nucleon_bits(alive, ptype):
+    """(..., P) alive/ptype -> two (..., W) uint32 bitfields
+    (alive bits, is-proton bits). Proton bits cover ALL slots — dead and
+    padding slots keep their ptype through pack/unpack, matching the
+    rank-mask path which never touches them (nucleus-slot ptypes are
+    always PROTON=0 or NEUTRON=1)."""
+    p = alive.shape[-1]
+    w = -(-p // 32)
+    pad = w * 32 - p
+
+    def pk(v):
+        vv = v.astype(jnp.uint32)
+        if pad:
+            vv = jnp.concatenate(
+                [vv, jnp.zeros(vv.shape[:-1] + (pad,), jnp.uint32)], -1
+            )
+        vv = vv.reshape(vv.shape[:-1] + (w, 32))
+        return jnp.sum(
+            vv << jnp.arange(32, dtype=jnp.uint32), axis=-1, dtype=jnp.uint32
+        )
+
+    return pk(alive), pk(ptype == PROTON)
+
+
+def unpack_alive_ptype(alive_bits, proton_bits, p):
+    """Inverse of :func:`pack_nucleon_bits`: (..., W) uint32 pairs back to
+    (..., P) bool alive and int32 ptype."""
+    bits = jnp.arange(p, dtype=jnp.uint32)
+    w_idx = (bits // 32).astype(jnp.int32)
+    b_idx = bits % 32
+
+    def up(x):
+        return ((x[..., w_idx] >> b_idx) & 1).astype(bool)
+
+    alive = up(alive_bits)
+    ptype = jnp.where(up(proton_bits), PROTON, NEUTRON).astype(jnp.int32)
+    return alive, ptype
+
+
+def _lowest_set_bits(x, r):
+    """Mask of the lowest min(r, popcount) set bits of the (W,) uint32
+    bitfield ``x`` (r a traced scalar <= 2), scanning words low to high."""
+    one = jnp.uint32(1)
+    zero = jnp.uint32(0)
+    out = []
+    for wd in range(x.shape[0]):
+        xw = x[wd]
+        b1 = xw & (~xw + one)
+        x2 = xw ^ b1
+        b2 = x2 & (~x2 + one)
+        k1 = jnp.where(r >= 1, b1, zero)
+        r = r - (k1 != 0).astype(r.dtype)
+        k2 = jnp.where(r >= 1, b2, zero)
+        r = r - (k2 != 0).astype(r.dtype)
+        out.append(k1 | k2)
+    return jnp.stack(out)
+
+
+def _first_set_bit(x):
+    """Mask of the single lowest set bit across the (W,) uint32 bitfield
+    ``x`` (all-zero when x is empty)."""
+    one = jnp.uint32(1)
+    out = []
+    found = None
+    for wd in range(x.shape[0]):
+        b = x[wd] & (~x[wd] + one)
+        if found is None:
+            out.append(b)
+            found = b != 0
+        else:
+            out.append(jnp.where(found, jnp.uint32(0), b))
+            found = found | (b != 0)
+    return jnp.stack(out)
+
+
 def _decay_draw_count(cfg: SimConfig) -> int:
     """Uniform draws consumed by :func:`_apply_decay_from_draws`:
     branch, duration, half-life estimate, fragment count, then per-slot
@@ -142,7 +231,8 @@ def _apply_decay_from_draws(
     dyn: FrameDynamics,
     row_tables: bool = False,
     stats_only: bool = False,
-) -> tuple[NucleusState, jax.Array]:
+    packed_nucleons=None,
+):
     """:func:`apply_decay` body over pre-drawn uniforms.
 
     All of a substep's randomness comes in as ONE ``(4 + 2·k_e,)`` uniform
@@ -200,16 +290,39 @@ def _apply_decay_from_draws(
         return jnp.where(slot_mask, value, arr)
 
     # --- nucleon adjustment (particles.py:149-203).
-    alive_p, alive_n, prank, nrank = _first_rank_masks(state)
     rm_p = jnp.asarray(_REMOVE_P)[dtype]
     rm_n = jnp.asarray(_REMOVE_N)[dtype]
-    kill = (alive_p & (prank < rm_p)) | (alive_n & (nrank < rm_n))
-    new_alive = state.alive & ~(kill & eff)
+    if packed_nucleons is not None:
+        # Bitfield form (stats frame): same first-rank semantics on dense
+        # (W,) uint32 words — see pack_nucleon_bits above.
+        assert stats_only, "packed nucleon bitfields are stats-only"
+        ab, pb = packed_nucleons
+        apb = ab & pb
+        anb = ab & ~pb
+        full = jnp.uint32(0xFFFFFFFF)
+        effm = jnp.where(eff, full, jnp.uint32(0))
+        kill_bits = _lowest_set_bits(apb, rm_p) | _lowest_set_bits(anb, rm_n)
+        new_ab = ab & ~(kill_bits & effm)
+        bminus = jnp.where(
+            eff & (dtype == DECAY_BETA_MINUS), full, jnp.uint32(0)
+        )
+        bplus = jnp.where(
+            eff & (dtype == DECAY_BETA_PLUS), full, jnp.uint32(0)
+        )
+        new_pb = (pb | (_first_set_bit(anb) & bminus)) & ~(
+            _first_set_bit(apb) & bplus
+        )
+        new_packed = (new_ab, new_pb)
+        new_alive, new_ptype = state.alive, state.ptype  # excluded leaves
+    else:
+        alive_p, alive_n, prank, nrank = _first_rank_masks(state)
+        kill = (alive_p & (prank < rm_p)) | (alive_n & (nrank < rm_n))
+        new_alive = state.alive & ~(kill & eff)
 
-    flip_to_p = eff & (dtype == DECAY_BETA_MINUS) & alive_n & (nrank == 0)
-    flip_to_n = eff & (dtype == DECAY_BETA_PLUS) & alive_p & (prank == 0)
-    new_ptype = jnp.where(flip_to_p, PROTON, state.ptype)
-    new_ptype = jnp.where(flip_to_n, NEUTRON, new_ptype)
+        flip_to_p = eff & (dtype == DECAY_BETA_MINUS) & alive_n & (nrank == 0)
+        flip_to_n = eff & (dtype == DECAY_BETA_PLUS) & alive_p & (prank == 0)
+        new_ptype = jnp.where(flip_to_p, PROTON, state.ptype)
+        new_ptype = jnp.where(flip_to_n, NEUTRON, new_ptype)
 
     if stats_only:
         new_vel = state.vel
@@ -310,7 +423,10 @@ def _apply_decay_from_draws(
         chain_time=masked_set(state.chain_time, duration * efff),
         chain_cursor=state.chain_cursor + effi,
     )
-    return new_state, jnp.where(eff, dtype, DECAY_NONE)
+    dtype_out = jnp.where(eff, dtype, DECAY_NONE)
+    if packed_nucleons is not None:
+        return new_state, dtype_out, new_packed
+    return new_state, dtype_out
 
 
 def maybe_decay(
@@ -320,7 +436,8 @@ def maybe_decay(
     dyn: FrameDynamics,
     row_tables: bool = False,
     stats_only: bool = False,
-) -> tuple[NucleusState, jax.Array]:
+    packed_nucleons=None,
+):
     """Bernoulli decay check for one substep (nuclear_sim.py:164-167).
 
     The whole substep draws ONE uniform vector (Bernoulli draw + every
@@ -328,9 +445,12 @@ def maybe_decay(
     ``row_tables`` selects the batched-frame table-gather form and
     ``stats_only`` the ejecta-free statistics form (see
     :func:`_apply_decay_from_draws`); isotope trajectories are bitwise
-    identical either way."""
+    identical either way. With ``packed_nucleons`` (stats frame) a third
+    return element carries the updated bitfields."""
     u = jax.random.uniform(key, (1 + _decay_draw_count(cfg),))
-    return maybe_decay_from_u(state, cfg, u, dyn, row_tables, stats_only)
+    return maybe_decay_from_u(
+        state, cfg, u, dyn, row_tables, stats_only, packed_nucleons
+    )
 
 
 def maybe_decay_from_u(
@@ -340,7 +460,8 @@ def maybe_decay_from_u(
     dyn: FrameDynamics,
     row_tables: bool = False,
     stats_only: bool = False,
-) -> tuple[NucleusState, jax.Array]:
+    packed_nucleons=None,
+):
     """:func:`maybe_decay` over a pre-drawn ``(1 + draw_count,)`` uniform
     vector — the seam for callers that source the substep's threefry block
     elsewhere. (Hoisting a whole frame's draws out of the substep scan was
@@ -349,7 +470,7 @@ def maybe_decay_from_u(
     p = decay_probability(state.half_life, dyn.step_time)
     did = u[0] < p
     return _apply_decay_from_draws(
-        state, cfg, u[1:], did, dyn, row_tables, stats_only
+        state, cfg, u[1:], did, dyn, row_tables, stats_only, packed_nucleons
     )
 
 

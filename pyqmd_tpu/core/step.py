@@ -422,7 +422,7 @@ def decay_ensemble_step(
         # (~424 → ~122 B/nucleus at pad_to=8 with the pos/vel/rng
         # exclusion above).
         narrow_to = {
-            "ptype": jnp.uint8, "z": jnp.uint8, "n": jnp.uint8,
+            "z": jnp.uint8, "n": jnp.uint8,
             "decay_counts": jnp.uint16,
             "chain_z0": jnp.uint8, "chain_n0": jnp.uint8,
             "chain_dtype": jnp.uint8, "chain_z1": jnp.uint8,
@@ -435,19 +435,40 @@ def decay_ensemble_step(
                 **{f: getattr(st, f).astype(d) for f, d in dtypes.items()}
             )
 
-        def body(st, keys):
-            # st's ejecta/pos/vel/rng leaves are None (empty subtrees):
-            # the stats-only decay path neither reads nor writes them.
-            st = cast(st, wide_dtypes)
-            st = jax.vmap(
-                lambda s, k: maybe_decay(
-                    s, cfg, k, dyn, row_tables=True, stats_only=True
-                )[0]
-            )(st, keys)
-            return cast(st, narrow_to), None
+        # alive/ptype ride the scan as packed uint32 bitfields: the
+        # (B, P) rank-mask adjustment was +1.7 ns/nucleus-substep of
+        # mostly-wasted lanes at pad_to=8; the bitfield form is a few
+        # dense (B, W) word ops with bitwise-identical results
+        # (core/decay.py pack_nucleon_bits).
+        from pyqmd_tpu.core.decay import pack_nucleon_bits, unpack_alive_ptype
 
-        states, _ = jax.lax.scan(body, cast(states, narrow_to), step_keys)
+        p_cap = states.alive.shape[-1]
+        bits0 = pack_nucleon_bits(states.alive, states.ptype)
+        states = states.replace(alive=None, ptype=None)
+
+        def body(carry, keys):
+            # st's ejecta/pos/vel/rng/alive/ptype leaves are None (empty
+            # subtrees): the stats-only decay path reads none of them.
+            st, bits = carry
+            st = cast(st, wide_dtypes)
+            st, bits = jax.vmap(
+                lambda s, a, pb, k: (
+                    lambda r: (r[0], r[2])
+                )(
+                    maybe_decay(
+                        s, cfg, k, dyn, row_tables=True, stats_only=True,
+                        packed_nucleons=(a, pb),
+                    )
+                )
+            )(st, bits[0], bits[1], keys)
+            return (cast(st, narrow_to), bits), None
+
+        (states, bits), _ = jax.lax.scan(
+            body, (cast(states, narrow_to), bits0), step_keys
+        )
         states = cast(states, wide_dtypes)
+        alive, ptype = unpack_alive_ptype(bits[0], bits[1], p_cap)
+        states = states.replace(alive=alive, ptype=ptype)
     states = states.replace(**ej_saved)
     states = states.replace(
         rng=jax.vmap(lambda k: jax.random.key_data(k).astype(jnp.uint32))(k3[:, 2]),
