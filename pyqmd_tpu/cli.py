@@ -19,6 +19,8 @@ import json
 import logging
 import sys
 
+import numpy as np
+
 from pyqmd_tpu.data.elements import isotope_label, parse_isotope
 from pyqmd_tpu.sim import ISOTOPE_KEYMAP, Simulation
 from pyqmd_tpu.state import DECAY_TYPE_NAMES
@@ -344,19 +346,35 @@ def interactive(sim: Simulation) -> None:
             elif cmd == "watch":
                 # Real-time loop at ~60 fps with live ASCII refresh — the
                 # run-loop analog (nuclear_sim.py:589-606). Ctrl-C to stop.
+                # The camera fit runs ON DEVICE (render_fit_device) and
+                # frames pipeline through async host copies, so each shown
+                # frame (3 frames late) costs one overlapped tunnel RPC
+                # instead of two fenced ones.
+                import collections as _collections
                 import time as _time
+
+                from pyqmd_tpu.render.ansi import ansi_render
 
                 seconds = float(args[0]) if args else 5.0
                 t_end = _time.time() + seconds
+                queue = _collections.deque()
                 try:
                     while _time.time() < t_end:
                         t0 = _time.time()
                         sim.frame()
-                        art = sim.render_ansi(width=64, height=44)
-                        print("\033[2J\033[H" + art)
+                        img = sim.render_fit_device(64, 44)
+                        img.copy_to_host_async()
+                        queue.append(img)
+                        if len(queue) > 3:
+                            art = ansi_render(np.asarray(queue.popleft()))
+                            print("\033[2J\033[H" + art)
+                            print(f"{sim.isotope}  ts={sim.time_scale:g}  "
+                                  f"substeps={sim.substeps_used}")
+                        _time.sleep(max(0.0, 1 / 60 - (_time.time() - t0)))
+                    if queue:  # show the freshest in-flight frame
+                        print("\033[2J\033[H" + ansi_render(np.asarray(queue[-1])))
                         print(f"{sim.isotope}  ts={sim.time_scale:g}  "
                               f"substeps={sim.substeps_used}")
-                        _time.sleep(max(0.0, 1 / 60 - (_time.time() - t0)))
                 except KeyboardInterrupt:
                     pass
             elif cmd == "render":

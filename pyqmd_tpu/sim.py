@@ -11,6 +11,7 @@ substep bucket to run, what to log) and keeps UI state (camera lerp, zoom).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import math
 from collections import deque
@@ -31,6 +32,36 @@ from pyqmd_tpu.utils.format import format_time_value_with_unit
 from pyqmd_tpu.utils.profiling import StepTimer
 
 logger = logging.getLogger("pyqmd_tpu")
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _fit_frame_device(state, width, height, origin):
+    """View-fitted full-frame render in ONE device program: the
+    :meth:`Simulation._render_fit` camera math (alive-masked center of
+    mass, max |pos - com| extent with the 5.0 floor and +3.0 margin,
+    0.45·min(w, h)/extent zoom, nuclear_sim.py:68-75 semantics) computed
+    in-graph, then the rasterizer's full-frame winner path (traced zoom
+    selects it inside render_frame). No host transfer happens here —
+    callers pipeline the returned device array."""
+    import jax.numpy as jnp
+
+    from pyqmd_tpu.render import render_frame
+
+    w = state.alive.astype(jnp.float32)
+    cnt = jnp.sum(w)
+    com = jnp.where(
+        cnt > 0,
+        jnp.sum(state.pos * w[:, None], axis=0) / jnp.maximum(cnt, 1.0),
+        origin,
+    )
+    d = jnp.where(w[:, None] > 0, jnp.abs(state.pos - com), 0.0)
+    extent = jnp.where(
+        cnt > 0, jnp.maximum(jnp.max(d), 5.0) + 3.0, 10.0
+    )
+    zoom = 0.45 * min(width, height) / extent
+    return render_frame(
+        state, (com[0], com[1]), zoom, width, height, ruler=False
+    )
 
 # Time-scale presets (nuclear_sim.py:78-87).
 TIME_SCALE_PRESETS = {
@@ -594,6 +625,24 @@ class Simulation:
             )
             img = burn_overlay(img, rgb, mask)
         return img
+
+    def render_fit_device(self, width: int, height: int, index: int = 0):
+        """Device-fitted frame with NO host readback: camera fit (alive
+        center of mass + extent, the :meth:`_render_fit` math) computed
+        in-graph and fused with the full-frame rasterizer, returning an
+        un-fenced (H, W, 3) uint8 device array. The watch loop pipelines
+        these through async host copies (cli.py), so the per-frame cost
+        is one overlapped tunnel RPC instead of two fenced ones (the
+        pos/alive readback for view fitting plus the frame itself)."""
+        state = self.state
+        if self.batched:
+            state = jax.tree.map(lambda a: a[index], state)
+        return _fit_frame_device(
+            state, width, height,
+            jax.numpy.asarray(
+                [self.cfg.origin_x, self.cfg.origin_y], jax.numpy.float32
+            ),
+        )
 
     def _render_fit(self, width: int, height: int, index: int = 0):
         """Render with the view fitted to the nucleus extent (the REPL

@@ -712,3 +712,18 @@ def test_pipelined_reader_delivers_all_frames_one_late():
     assert reader.flush() == []
     with pytest.raises(ValueError):
         PipelinedFrameReader(depth=0)
+
+
+def test_render_fit_device_matches_host_fit():
+    """The one-program device-fitted frame (in-graph camera fit + full-frame
+    rasterizer) must reproduce the host _render_fit view — the watch loop
+    shows these interchangeably."""
+    from pyqmd_tpu.sim import Simulation
+
+    sim = Simulation(z=6, n=8, pad_to=16)
+    dev = np.asarray(sim.render_fit_device(64, 44))
+    host = sim._render_fit(64, 44)
+    assert dev.shape == host.shape == (44, 64, 3)
+    # f32 in-graph camera vs f64 host camera: allow sub-pixel edge wobble
+    # but demand near-total agreement (empirically exact on CPU).
+    assert (dev == host).mean() > 0.995
