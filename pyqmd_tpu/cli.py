@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load", metavar="PATH", help="resume from checkpoint")
     p.add_argument("-i", "--interactive", action="store_true", help="REPL mode")
     p.add_argument(
+        "--serve", metavar="PORT", type=int, default=None,
+        help="serve the live browser view on http://127.0.0.1:PORT/ "
+             "(the graphical-window replacement; Ctrl-C to stop)",
+    )
+    p.add_argument(
         "--platform", default=None, choices=("cpu", "tpu"),
         help="force the JAX platform (this image pins TPU via sitecustomize; "
         "use cpu for quick host-only runs)",
@@ -223,6 +228,7 @@ HELP = """commands (reference keybinding in brackets):
   status          show info panel
   show [ascii]    color/ASCII view of the nucleus    [main viewport]
   watch [SECS]    live 60fps ASCII view              [run loop]
+  serve [PORT]    live browser view (blocks; ^C)     [PyGame window]
   render PATH     write PNG of current frame
   save/load PATH  checkpoint
   quit            exit                               [ESC]
@@ -377,6 +383,13 @@ def interactive(sim: Simulation) -> None:
                               f"substeps={sim.substeps_used}")
                 except KeyboardInterrupt:
                     pass
+            elif cmd == "serve":
+                from pyqmd_tpu.render.httpview import serve as _serve
+
+                try:
+                    _serve(sim, port=int(args[0]) if args else 8400)
+                except KeyboardInterrupt:
+                    print("  live view stopped")
             elif cmd == "render":
                 from pyqmd_tpu.render import write_png
 
@@ -498,6 +511,12 @@ def main(argv: list[str] | None = None) -> int:
 
         # Same clamp as every interactive zoom path (nuclear_sim.py:74-75).
         sim.zoom = sim.target_zoom = min(MAX_ZOOM, max(MIN_ZOOM, float(args.zoom)))
+
+    if args.serve is not None:
+        from pyqmd_tpu.render.httpview import serve
+
+        serve(sim, port=args.serve)
+        return 0
 
     if args.interactive:
         interactive(sim)

@@ -1,0 +1,82 @@
+"""Browser live-view server (render/httpview.py): the headless
+replacement for the reference's PyGame window (nuclear_sim.py:33-35,
+589-606) — endpoints, stream framing, and the control surface."""
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from pyqmd_tpu.render.httpview import LiveViewServer
+from pyqmd_tpu.sim import Simulation
+
+
+@pytest.fixture(scope="module")
+def server():
+    sim = Simulation(z=6, n=8, pad_to=16)
+    sim.set_time_scale(3.15576e10)
+    srv = LiveViewServer(sim, port=0, fps=20, width=160, height=120)
+    srv.start_background()
+    yield srv
+    srv.close()
+
+
+def _get(srv, path, timeout=60):
+    return urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}{path}", timeout=timeout
+    ).read()
+
+
+def test_page_and_frame(server):
+    page = _get(server, "/")
+    assert b"/stream" in page and b"/control" in page
+    png = _get(server, "/frame")
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert len(png) > 500  # a real image, not a stub
+
+
+def test_status_json(server):
+    st = json.loads(_get(server, "/status"))
+    assert st["isotope"].split("-")[0] in ("C", "N", "U")
+    assert "time_scale" in st and "decay_counts" in st
+
+
+def test_controls_mirror_reference_keymap(server):
+    """force decay (SPACE), time-scale steps (arrows), preset, isotope
+    select (1-9) — nuclear_sim.py:430-521 semantics over HTTP."""
+    ts0 = json.loads(_get(server, "/status"))["time_scale"]
+    _get(server, "/control?do=faster")
+    assert json.loads(_get(server, "/status"))["time_scale"] == ts0 * 10
+    _get(server, "/control?do=slower")
+    _get(server, "/control?preset=year")
+    assert json.loads(_get(server, "/status"))["time_scale"] == 31557600.0
+    _get(server, "/control?iso=U-238")
+    st = json.loads(_get(server, "/status"))
+    assert st["isotope"] == "U-238"
+    counts0 = sum(st["decay_counts"])
+    _get(server, "/control?do=decay")
+    st2 = json.loads(_get(server, "/status"))
+    assert sum(st2["decay_counts"]) == counts0 + 1  # forced decay landed
+
+
+def test_stream_multipart_parts(server):
+    req = urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/stream", timeout=60
+    )
+    assert "multipart/x-mixed-replace" in req.headers["Content-Type"]
+    buf = b""
+    t0 = time.time()
+    while buf.count(b"--pyqmd-frame") < 3 and time.time() - t0 < 60:
+        buf += req.read(4096)
+    req.close()
+    assert buf.count(b"image/png") >= 2
+    # Each part carries a well-formed PNG signature after its headers.
+    first = buf.index(b"\x89PNG\r\n\x1a\n")
+    assert first > 0
+
+
+def test_unknown_path_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/nope")
+    assert e.value.code == 404
