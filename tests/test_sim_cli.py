@@ -451,3 +451,17 @@ def test_cli_populations_and_theory(tmp_path, capsys):
 
     with _pytest.raises(SystemExit):
         cli_main(["--isotope", "He-4", "--theory", str(theory)])
+
+
+def test_python_dash_m_package_entry():
+    """``python -m pyqmd_tpu`` is the CLI (the reference's entry point is
+    ``python nuclear_sim.py``, nuclear_sim.py:615-617)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "pyqmd_tpu", "--help"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0
+    assert "--serve" in r.stdout and "--isotope" in r.stdout
