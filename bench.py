@@ -148,10 +148,12 @@ def bench_halflife_accuracy(batch=32768, frames=20, decay_only=False):
     return abs(fit_hl - hl_true) / hl_true
 
 
-def bench_decay_only_throughput(batch=1 << 21, frames=4, substeps=10):
+def bench_decay_only_throughput(batch=1 << 21, frames=4, substeps=10, reps=3):
     """Decay-only statistics frame throughput (VERDICT r3 weak #2): the
     O(B·P) pod-scale half-life machinery finally gets a number. Same
-    fencing protocol as bench_ensemble."""
+    fencing protocol as bench_ensemble; best-of-``reps`` windows because a
+    single 4-frame window swung 82M vs 128M on this path between runs
+    (CLAUDE.md measurement protocol: never report from one window)."""
     from pyqmd_tpu.core.step import make_decay_frame_fn
 
     hl_true = 5730 * 31557600.0
@@ -163,12 +165,14 @@ def bench_decay_only_throughput(batch=1 << 21, frames=4, substeps=10):
     sim_dt = 0.01 * hl_true  # slow enough that most of the run has decays left
     states, m = fn(states, sim_dt, 1.0)  # compile + warmup
     np.asarray(states.z)
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        states, m = fn(states, sim_dt, 1.0)
-    np.asarray(states.z)
-    dt = time.perf_counter() - t0
-    return frames * substeps * batch / dt
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            states, m = fn(states, sim_dt, 1.0)
+        np.asarray(states.z)
+        best = max(best, frames * substeps * batch / (time.perf_counter() - t0))
+    return best
 
 
 def bench_sharded_tpu(frames=3):
@@ -356,17 +360,21 @@ def bench_render(fps_frames=60):
     packed = render_frame_packed(st, (400.0, 400.0), 10.0, 800, 600)
     rgb0 = unpack_frame(np.asarray(packed))  # compile + warm + exactness
     exact = rgb0 is not None and np.array_equal(rgb0, np.asarray(img))
-    reader = PipelinedFrameReader()
+    # Best-of-3 windows: a single window swung 23 vs 35 fps between runs
+    # (tunnel RPC jitter, not renderer time — CLAUDE.md protocol).
     n_i = max(10, fps_frames // 2)
-    delivered = 0
-    t0 = time.perf_counter()
-    for _ in range(n_i):
-        out = reader.submit(
-            render_frame_packed(st, (400.0, 400.0), 10.0, 800, 600)
-        )
-        delivered += out is not None
-    delivered += len(reader.flush())
-    ifps = delivered / (time.perf_counter() - t0)
+    ifps = 0.0
+    for _ in range(3):
+        reader = PipelinedFrameReader()
+        delivered = 0
+        t0 = time.perf_counter()
+        for _ in range(n_i):
+            out = reader.submit(
+                render_frame_packed(st, (400.0, 400.0), 10.0, 800, 600)
+            )
+            delivered += out is not None
+        delivered += len(reader.flush())
+        ifps = max(ifps, delivered / (time.perf_counter() - t0))
 
     n_rb = max(5, fps_frames // 12)
     t0 = time.perf_counter()
