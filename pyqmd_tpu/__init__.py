@@ -33,7 +33,7 @@ from pyqmd_tpu.core.step import (
 )
 from pyqmd_tpu.sim import Simulation
 
-__version__ = "0.4.0"
+__version__ = "0.6.0"
 
 __all__ = [
     "SimConfig",

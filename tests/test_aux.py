@@ -1,6 +1,7 @@
 """Aux subsystem tests (SURVEY §5): NaN guard, backend fallback, profiling."""
 
 import logging
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -71,3 +72,15 @@ def test_render_ascii():
     lines = art.splitlines()
     assert len(lines) == 20 and all(len(l) == 48 for l in lines)
     assert "o" in art and "." in art  # protons and neutrons visible
+
+
+def test_version_consistent_with_pyproject():
+    """__version__ and pyproject.toml must agree (r4 shipped them split:
+    pyproject 0.5.0 vs __version__ 0.4.0)."""
+    import tomllib
+    import pyqmd_tpu
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+        pyproject = tomllib.load(f)
+    assert pyqmd_tpu.__version__ == pyproject["project"]["version"]
