@@ -415,7 +415,57 @@ def _emit(results, extras):
     )
 
 
+def _device_reachable(total_budget_s: float = 1800.0,
+                      probe_timeout_s: float = 300.0) -> bool:
+    """Bounded reachability check for the TPU tunnel.
+
+    The axon tunnel can go fully down for stretches (observed r5: >20 min
+    where even ``jax.devices()`` hangs at ~0 CPU). An unbounded hang here
+    would leave the driver's round-end bench with NO recorded result, so:
+    probe with a tiny fenced op in daemon threads, retrying within a total
+    budget, and let the caller emit an honest error line on failure. A
+    probe thread stuck in the tunnel RPC cannot be cancelled — each retry
+    starts a fresh thread; daemon threads don't block interpreter exit.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def tiny_op():
+        import jax.numpy as jnp
+
+        np.asarray(jnp.ones((8, 128)).sum())
+        done.set()
+
+    deadline = time.monotonic() + total_budget_s
+    while time.monotonic() < deadline:
+        t = threading.Thread(target=tiny_op, daemon=True)
+        t.start()
+        if done.wait(timeout=min(probe_timeout_s,
+                                 max(1.0, deadline - time.monotonic()))):
+            return True
+        print(
+            json.dumps({"bench_probe": "device unreachable, retrying",
+                        "budget_left_s": round(deadline - time.monotonic())}),
+            flush=True,
+        )
+    return done.is_set()
+
+
 def main():
+    if not _device_reachable():
+        # Emit a well-formed final line so the driver records SOMETHING
+        # honest instead of hanging forever on a dead tunnel.
+        print(json.dumps({
+            "metric": "u238_10k_ensemble_nucleus_substeps_per_sec",
+            "value": 0,
+            "unit": "nucleus-substeps/s",
+            "vs_baseline": 0,
+            "extra": {"error": "TPU tunnel unreachable for 30 min "
+                               "(jax op never completed); no measurement"},
+        }), flush=True)
+        os._exit(1)
+
     device = jax.devices()[0]
     extras = {"device": str(device), "backend": jax.default_backend()}
 
