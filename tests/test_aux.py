@@ -2,6 +2,7 @@
 
 import logging
 import os
+import time
 
 import jax.numpy as jnp
 import numpy as np
@@ -84,3 +85,18 @@ def test_version_consistent_with_pyproject():
     with open(os.path.join(root, "pyproject.toml"), "rb") as f:
         pyproject = tomllib.load(f)
     assert pyqmd_tpu.__version__ == pyproject["project"]["version"]
+
+
+def test_bench_device_reachable_happy_path():
+    """bench._device_reachable returns True promptly when the backend
+    works (CPU here); the tunnel-down branch was driven live in r5."""
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import bench
+
+    t0 = time.perf_counter()
+    assert bench._device_reachable(total_budget_s=30, probe_timeout_s=10)
+    assert time.perf_counter() - t0 < 10
