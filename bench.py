@@ -576,7 +576,15 @@ def main():
     try:
         fps, ifps, rb_fps, exact = bench_render()
         extras["render_fps_800x600"] = round(fps, 1)
+        # NOTE a protocol change under this key: r4 and earlier measured a
+        # SERIAL full-RGB readback here (~13 fps); since r5 it is the
+        # shipped interactive path (palettized uint8 payload, depth-6
+        # async copy pipeline — VERDICT r4 item 4). The r4-comparable
+        # serial number continues under render_fps_serial_rgb_readback.
         extras["render_fps_with_per_frame_tunnel_readback"] = round(ifps, 1)
+        extras["render_fps_readback_protocol"] = (
+            "palettized+pipelined depth6 (r5); r4 value was serial RGB"
+        )
         extras["render_fps_serial_rgb_readback"] = round(rb_fps, 1)
         extras["render_packed_exact"] = bool(exact)
     except Exception as e:

@@ -19,8 +19,6 @@ import json
 import logging
 import sys
 
-import numpy as np
-
 from pyqmd_tpu.data.elements import isotope_label, parse_isotope
 from pyqmd_tpu.sim import ISOTOPE_KEYMAP, Simulation
 from pyqmd_tpu.state import DECAY_TYPE_NAMES
@@ -356,29 +354,29 @@ def interactive(sim: Simulation) -> None:
                 # frames pipeline through async host copies, so each shown
                 # frame (3 frames late) costs one overlapped tunnel RPC
                 # instead of two fenced ones.
-                import collections as _collections
                 import time as _time
 
                 from pyqmd_tpu.render.ansi import ansi_render
+                from pyqmd_tpu.render.interactive import PipelinedFrameReader
 
                 seconds = float(args[0]) if args else 5.0
                 t_end = _time.time() + seconds
-                queue = _collections.deque()
+                # Raw RGB frames (no palettization at this tiny size), so
+                # decode is the identity; depth 3 keeps latency low.
+                reader = PipelinedFrameReader(depth=3, decode=lambda a: a)
                 try:
                     while _time.time() < t_end:
                         t0 = _time.time()
                         sim.frame()
-                        img = sim.render_fit_device(64, 44)
-                        img.copy_to_host_async()
-                        queue.append(img)
-                        if len(queue) > 3:
-                            art = ansi_render(np.asarray(queue.popleft()))
-                            print("\033[2J\033[H" + art)
+                        rgb = reader.submit(sim.render_fit_device(64, 44))
+                        if rgb is not None:
+                            print("\033[2J\033[H" + ansi_render(rgb))
                             print(f"{sim.isotope}  ts={sim.time_scale:g}  "
                                   f"substeps={sim.substeps_used}")
                         _time.sleep(max(0.0, 1 / 60 - (_time.time() - t0)))
-                    if queue:  # show the freshest in-flight frame
-                        print("\033[2J\033[H" + ansi_render(np.asarray(queue[-1])))
+                    tail = reader.flush()
+                    if tail:  # show the freshest in-flight frame
+                        print("\033[2J\033[H" + ansi_render(tail[-1]))
                         print(f"{sim.isotope}  ts={sim.time_scale:g}  "
                               f"substeps={sim.substeps_used}")
                 except KeyboardInterrupt:
@@ -386,10 +384,9 @@ def interactive(sim: Simulation) -> None:
             elif cmd == "serve":
                 from pyqmd_tpu.render.httpview import serve as _serve
 
-                try:
-                    _serve(sim, port=int(args[0]) if args else 8400)
-                except KeyboardInterrupt:
-                    print("  live view stopped")
+                # serve() handles Ctrl-C itself and returns once stopped.
+                _serve(sim, port=int(args[0]) if args else 8400)
+                print("  live view stopped")
             elif cmd == "render":
                 from pyqmd_tpu.render import write_png
 

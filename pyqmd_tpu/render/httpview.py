@@ -19,16 +19,19 @@ view over HTTP to any browser, stdlib-only:
   bigger|smaller|zoomin|zoomout`` / ``?preset=year`` / ``?iso=U-238``.
 
 Single simulation, many possible viewers: every handler serializes on
-one lock around the ``Simulation`` (frames are only stepped by the
-stream loop / frame requests, controls mutate host-side scheduling
-state). Binds 127.0.0.1 by default — this is a local viewer, not a
-public service.
+one lock around the ``Simulation``, and all stream connections share
+ONE stepping cadence through :meth:`LiveViewServer.pump_frame` — the
+reference has one window, so N open tabs must see the SAME frames, not
+advance simulated time N times faster. Controls mutate host-side
+scheduling state only. Binds 127.0.0.1 by default — this is a local
+viewer, not a public service.
 """
 
 from __future__ import annotations
 
 import json
 import logging
+import math
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -88,6 +91,24 @@ document.addEventListener('keydown', (e) => {{
 
 _BOUNDARY = "pyqmd-frame"
 
+# The reference keymap actions /control accepts (nuclear_sim.py:430-521).
+_DO_ACTIONS = frozenset(
+    {"decay", "faster", "slower", "bigger", "smaller", "zoomin", "zoomout"}
+)
+
+
+def _json_safe(v):
+    """numpy -> python, and non-finite floats -> None: strict JSON has no
+    Infinity/NaN, and the browser's ``JSON.parse`` rejects them (a stable
+    isotope's ``half_life=inf`` would otherwise kill the status readout)."""
+    if hasattr(v, "tolist"):
+        v = v.tolist()
+    if isinstance(v, float) and not math.isfinite(v):
+        return None
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    return v
+
 
 class LiveViewServer:
     """Own the HTTP server + the simulation lock. ``port=0`` picks an
@@ -101,6 +122,11 @@ class LiveViewServer:
         self.fps = fps
         self.width = width or min(sim.view_width, 800)
         self.height = height or min(sim.view_height, 600)
+        # Shared frame pump state: latest encoded frame + its sequence
+        # number + the monotonic time it was produced (see pump_frame).
+        self._frame: bytes | None = None
+        self._frame_seq = 0
+        self._frame_t = 0.0
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -130,12 +156,24 @@ class LiveViewServer:
                         )
                     elif url.path == "/control":
                         q = parse_qs(url.query)
-                        outer.control(
-                            do=q.get("do", [None])[0],
-                            preset=q.get("preset", [None])[0],
-                            iso=q.get("iso", [None])[0],
-                        )
-                        self._send(200, "application/json", b'{"ok": true}')
+                        try:
+                            outer.control(
+                                do=q.get("do", [None])[0],
+                                preset=q.get("preset", [None])[0],
+                                iso=q.get("iso", [None])[0],
+                            )
+                        except (KeyError, ValueError) as e:
+                            # Bad input is the client's error: answer 400
+                            # instead of aborting the connection with a
+                            # handler traceback.
+                            body = json.dumps(
+                                {"ok": False, "error": str(e)}
+                            ).encode()
+                            self._send(400, "application/json", body)
+                        else:
+                            self._send(
+                                200, "application/json", b'{"ok": true}'
+                            )
                     elif url.path == "/stream":
                         self._stream()
                     else:
@@ -151,16 +189,19 @@ class LiveViewServer:
                 )
                 self.end_headers()
                 budget = 1.0 / max(outer.fps, 0.1)
+                last_seq = -1
                 while not outer._closed:
                     t0 = time.time()
-                    png = outer.frame_png(step=True)
-                    self.wfile.write(
-                        (f"--{_BOUNDARY}\r\nContent-Type: image/png\r\n"
-                         f"Content-Length: {len(png)}\r\n\r\n").encode()
-                    )
-                    self.wfile.write(png)
-                    self.wfile.write(b"\r\n")
-                    self.wfile.flush()
+                    seq, png = outer.pump_frame()
+                    if seq != last_seq:  # another stream may have pumped
+                        last_seq = seq
+                        self.wfile.write(
+                            (f"--{_BOUNDARY}\r\nContent-Type: image/png\r\n"
+                             f"Content-Length: {len(png)}\r\n\r\n").encode()
+                        )
+                        self.wfile.write(png)
+                        self.wfile.write(b"\r\n")
+                        self.wfile.flush()
                     time.sleep(max(0.0, budget - (time.time() - t0)))
 
         self._closed = False
@@ -170,27 +211,64 @@ class LiveViewServer:
 
     # --- simulation access (all under the lock) -----------------------------
 
-    def frame_png(self, step: bool = False) -> bytes:
+    def frame_png(self) -> bytes:
+        """Render the CURRENT state (no stepping) — the /frame endpoint."""
         from pyqmd_tpu.render import png_bytes
 
         with self.lock:
-            if step:
-                self.sim.frame()
             img = self.sim.render(self.width, self.height)
         return png_bytes(img)
+
+    def pump_frame(self) -> tuple[int, bytes]:
+        """Advance the simulation at most once per fps budget, whichever
+        stream asks first, and hand every caller the latest frame.
+
+        This is the one place the server steps the simulation: N
+        concurrent /stream viewers share one cadence and one frame
+        sequence instead of each stepping the shared ``Simulation``
+        (which would advance simulated time N times faster and split the
+        frames between viewers)."""
+        from pyqmd_tpu.render import png_bytes
+
+        budget = 1.0 / max(self.fps, 0.1)
+        with self.lock:
+            if (
+                self._frame is None
+                or time.monotonic() - self._frame_t >= budget
+            ):
+                self.sim.frame()
+                img = self.sim.render(self.width, self.height)
+                self._frame = png_bytes(img)
+                # Stamp COMPLETION time: a slow frame (first-use compile,
+                # busy host) must not trigger immediate catch-up stepping.
+                self._frame_t = time.monotonic()
+                self._frame_seq += 1
+            return self._frame_seq, self._frame
 
     def status(self) -> dict:
         with self.lock:
             s = dict(self.sim.status())
-        # JSON-safe: numpy scalars/arrays -> python.
-        return {
-            k: (v.tolist() if hasattr(v, "tolist") else v)
-            for k, v in s.items()
-        }
+        return {k: _json_safe(v) for k, v in s.items()}
 
     def control(self, do=None, preset=None, iso=None) -> None:
+        """Apply a control action; raises ``ValueError``/``KeyError`` on
+        unknown input (the handler answers 400, not a traceback).
+        Validation happens before the lock so a bad request never
+        half-applies a combined query."""
         from pyqmd_tpu.data.elements import parse_isotope
+        from pyqmd_tpu.sim import TIME_SCALE_PRESETS
 
+        if do is not None and do not in _DO_ACTIONS:
+            raise ValueError(
+                f"unknown action {do!r}; options: {sorted(_DO_ACTIONS)}"
+            )
+        if preset is not None and preset not in TIME_SCALE_PRESETS:
+            raise KeyError(
+                f"unknown preset {preset!r}; options: "
+                f"{list(TIME_SCALE_PRESETS)}"
+            )
+        if iso:
+            z, n = parse_isotope(iso)  # raises ValueError on bad input
         with self.lock:
             if do == "decay":
                 self.sim.force_decay()
@@ -207,9 +285,8 @@ class LiveViewServer:
             elif do == "zoomout":
                 self.sim.zoom_by(1.0 / 1.2)
             if preset:
-                self.sim.set_preset(preset)
+                self.sim.set_preset(preset)  # raises KeyError on bad name
             if iso:
-                z, n = parse_isotope(iso)
                 self.sim.reset(z=z, n=n)
 
     # --- lifecycle -----------------------------------------------------------

@@ -146,28 +146,33 @@ class PipelinedFrameReader:
     drop ``depth`` for lower latency at lower throughput.
     """
 
-    def __init__(self, depth: int = 6) -> None:
+    def __init__(self, depth: int = 6, decode=unpack_frame) -> None:
+        """``decode`` maps the landed host array to the frame handed back
+        (default: :func:`unpack_frame` for packed palettized frames; pass
+        an identity for raw RGB device frames, as the CLI ``watch`` loop
+        does). Returning None from decode drops that frame."""
         if depth < 1:
             raise ValueError("depth must be >= 1")
         self._depth = depth
+        self._decode = decode
         self._queue: collections.deque = collections.deque()
 
     def submit(self, packed) -> np.ndarray | None:
         """Start the async host copy of ``packed``; once ``depth`` frames
-        are in flight, return the OLDEST frame's RGB (None while the
-        pipeline fills, or on a palette miss)."""
+        are in flight, return the OLDEST frame's decoded RGB (None while
+        the pipeline fills, or when decode drops the frame)."""
         packed.copy_to_host_async()
         self._queue.append(packed)
         if len(self._queue) > self._depth:
-            return unpack_frame(np.asarray(self._queue.popleft()))
+            return self._decode(np.asarray(self._queue.popleft()))
         return None
 
     def flush(self) -> list[np.ndarray]:
         """Drain every in-flight frame (end of the loop), oldest first.
-        Palette-miss frames (None from :func:`unpack_frame`) are dropped."""
+        Frames the decoder drops (None) are skipped."""
         out = []
         while self._queue:
-            rgb = unpack_frame(np.asarray(self._queue.popleft()))
+            rgb = self._decode(np.asarray(self._queue.popleft()))
             if rgb is not None:
                 out.append(rgb)
         return out

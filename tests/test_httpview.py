@@ -80,3 +80,52 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server, "/nope")
     assert e.value.code == 404
+
+
+def test_bad_control_returns_400(server):
+    """Invalid preset/isotope/action answer 400, not an aborted
+    connection with a handler traceback."""
+    for q in ("preset=bogus", "iso=Xx-999", "do=teleport"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server, f"/control?{q}")
+        assert e.value.code == 400
+        body = json.loads(e.value.read())
+        assert body["ok"] is False and body["error"]
+    # The simulation is still healthy afterwards.
+    assert json.loads(_get(server, "/status"))["time_scale"] > 0
+
+
+def test_status_is_strict_json_for_stable_isotope():
+    """A stable isotope's half_life=inf must not serialize as the
+    non-standard `Infinity` token — the browser's strict JSON.parse
+    rejects it and the status panel would silently die."""
+    sim = Simulation(z=2, n=2, pad_to=8)  # He-4: stable, half_life=inf
+    srv = LiveViewServer(sim, port=0, fps=20, width=80, height=60)
+    srv.start_background()
+    try:
+        raw = _get(srv, "/status")
+        assert b"Infinity" not in raw and b"NaN" not in raw
+        st = json.loads(
+            raw, parse_constant=lambda c: pytest.fail(f"non-JSON {c}")
+        )
+        assert st["half_life"] is None  # inf -> null
+    finally:
+        srv.close()
+
+
+def test_pump_frame_shares_one_stepping_cadence():
+    """N concurrent /stream viewers must NOT advance simulated time N
+    times faster: pump_frame steps at most once per fps budget and hands
+    every caller the same frame + sequence number."""
+    sim = Simulation(z=6, n=8, pad_to=16)
+    srv = LiveViewServer(sim, port=0, fps=10, width=80, height=60)
+    srv.start_background()
+    try:
+        seq1, png1 = srv.pump_frame()
+        seq2, png2 = srv.pump_frame()  # immediate second viewer
+        assert seq2 == seq1 and png2 is png1
+        time.sleep(1.5 / 10)  # past the fps budget
+        seq3, _ = srv.pump_frame()
+        assert seq3 == seq1 + 1
+    finally:
+        srv.close()

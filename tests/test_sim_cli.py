@@ -267,6 +267,7 @@ def test_cli_interactive_all_commands(tmp_path, capsys, monkeypatch):
         "size 400 300",
         "show ascii",
         "show",
+        "watch 0.3",
         f"render {png}",
         f"save {ck}",
         f"load {ck}",
