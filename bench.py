@@ -144,6 +144,8 @@ def bench_halflife_accuracy(batch=32768, frames=20, decay_only=False):
     surv = float(
         np.asarray((m["z"] == 6) & (m["n"] == 8)).sum()
     ) / batch
+    if surv >= 1.0:  # zero decays: -log(1.0) = -0.0 would divide by zero
+        return math.inf
     fit_hl = math.log(2) * (frames * sim_dt) / -math.log(max(surv, 1e-9))
     return abs(fit_hl - hl_true) / hl_true
 

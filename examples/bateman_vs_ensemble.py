@@ -45,8 +45,12 @@ with open("pb214_theory.csv", "w") as f:
 
 print(f"{'isotope':>8} {'measured':>9} {'theory':>9} {'diff':>7}   (final time point)")
 worst = 0.0
-for key, frac in sorted(theory["populations"].items()):
-    th = float(frac[-1])
+# Union of keys: a measured member that leaves the predicted graph (the
+# 'other' row, or an unpredicted node) counts as a divergence from a
+# theory population of 0 — iterating theory keys alone would hide it.
+all_keys = set(theory["populations"]) | set(measured["populations"])
+for key in sorted(all_keys):
+    th = float(theory["populations"].get(key, [0.0])[-1])
     ms = measured["populations"].get(key, [0])[-1] / args.batch
     if th > 0.005 or ms > 0.005:
         print(f"{key:>8} {ms:9.4f} {th:9.4f} {abs(ms - th):7.4f}")

@@ -81,6 +81,13 @@ def main():
         states, metrics = run(states, time_scale, frame_dt)
 
     surv = int(metrics["survivors"]) / batch
+    if surv >= 1.0:
+        # Possible at tiny --per-device counts (P(all survive 2 T1/2) =
+        # 0.25^B): -log(1.0) = -0.0 would divide by zero.
+        raise SystemExit(
+            f"no decays in {batch} members over 2 half-lives — "
+            "raise --per-device for a measurable fit"
+        )
     fit_hl = math.log(2) * sim_seconds / -math.log(max(surv, 1e-9))
     err = abs(fit_hl - HL) / HL
     print(f"survival after 2 T1/2: {surv:.4f} (expect 0.25)")

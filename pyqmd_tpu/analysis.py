@@ -63,6 +63,32 @@ class SurvivalResult:
         return "\n".join(lines) + "\n"
 
 
+def _ensemble_setup(
+    z, n, batch, frames, half_lives, substeps, seed, pad_to, decay_only,
+    max_chain_log, overrides,
+):
+    """Shared measurement preamble of :func:`survival_curve` and
+    :func:`chain_populations`: stability check, config build (with
+    optional SimConfig field ``overrides`` — the CLI's ``--set`` surface),
+    ensemble init, frame-fn selection and the time-grid step. One
+    helper so a validation or plumbing fix cannot drift between the two."""
+    if frames < 1:
+        raise ValueError(f"frames must be >= 1, got {frames}")
+    hl = half_life_host(z, n)
+    if not math.isfinite(hl):
+        raise ValueError(f"isotope ({z},{n}) is stable; no half-life to measure")
+    cfg = SimConfig.for_isotope(z, n, pad_to=pad_to, max_chain_log=max_chain_log)
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    states = ensemble_init(cfg, batch, seed=seed)
+    fn = (
+        make_decay_frame_fn(cfg, substeps)
+        if decay_only
+        else make_frame_fn(cfg, substeps, batched=True)
+    )
+    return hl, cfg, states, fn, half_lives * hl / frames
+
+
 def survival_curve(
     z: int,
     n: int,
@@ -74,6 +100,7 @@ def survival_curve(
     pad_to: int = 8,
     decay_only: bool = True,
     max_chain_log: int = 8,
+    overrides: dict | None = None,
 ) -> SurvivalResult:
     """Run a `batch`-nucleus ensemble of isotope (z, n) for `half_lives`
     tabulated half-lives and record the survival curve.
@@ -90,18 +117,14 @@ def survival_curve(
     workflows never read it, but it IS per-substep HBM traffic (measured
     1.4x at a 2M ensemble going 64 -> 8); raise it if you also want deep
     per-member event logs out of the run.
+
+    ``overrides`` replaces arbitrary SimConfig fields (the CLI ``--set``
+    surface), e.g. ``{"strong_strength": 120.0}`` for what-if physics.
     """
-    hl = half_life_host(z, n)
-    if not math.isfinite(hl):
-        raise ValueError(f"isotope ({z},{n}) is stable; no half-life to measure")
-    cfg = SimConfig.for_isotope(z, n, pad_to=pad_to, max_chain_log=max_chain_log)
-    states = ensemble_init(cfg, batch, seed=seed)
-    fn = (
-        make_decay_frame_fn(cfg, substeps)
-        if decay_only
-        else make_frame_fn(cfg, substeps, batched=True)
+    hl, cfg, states, fn, sim_dt = _ensemble_setup(
+        z, n, batch, frames, half_lives, substeps, seed, pad_to,
+        decay_only, max_chain_log, overrides,
     )
-    sim_dt = half_lives * hl / frames
 
     times = [0.0]
     survival = [1.0]
@@ -113,8 +136,16 @@ def survival_curve(
         times.append((f + 1) * sim_dt)
         survival.append(alive / batch)
 
-    s_end = max(survival[-1], 1e-12)
-    fitted = math.log(2) * times[-1] / -math.log(s_end)
+    s_end = survival[-1]
+    if s_end >= 1.0:
+        # No member ever left the initial isotope: zero decays in the
+        # window, or a chain whose branches re-enter (z, n) (Tc-99m's γ
+        # branch, data/chains.py) — the endpoint MLE carries no
+        # information. -log(1.0) is -0.0, so the division would crash;
+        # report an infinite fit instead.
+        fitted = math.inf
+    else:
+        fitted = math.log(2) * times[-1] / -math.log(max(s_end, 1e-12))
     return SurvivalResult(
         z=z,
         n=n,
@@ -138,6 +169,7 @@ def chain_populations(
     pad_to: int = 8,
     decay_only: bool = True,
     max_chain_log: int = 8,
+    overrides: dict | None = None,
 ) -> dict:
     """Track the isotope populations of a decaying ensemble over time.
 
@@ -157,17 +189,10 @@ def chain_populations(
     """
     import jax.numpy as jnp
 
-    hl = half_life_host(z, n)
-    if not math.isfinite(hl):
-        raise ValueError(f"isotope ({z},{n}) is stable")
-    cfg = SimConfig.for_isotope(z, n, pad_to=pad_to, max_chain_log=max_chain_log)
-    states = ensemble_init(cfg, batch, seed=seed)
-    fn = (
-        make_decay_frame_fn(cfg, substeps)
-        if decay_only
-        else make_frame_fn(cfg, substeps, batched=True)
+    hl, cfg, states, fn, sim_dt = _ensemble_setup(
+        z, n, batch, frames, half_lives, substeps, seed, pad_to,
+        decay_only, max_chain_log, overrides,
     )
-    sim_dt = half_lives * hl / frames
 
     nodes, _ = decay_chain_graph(z, n)
     node_z = jnp.asarray([zz for zz, _ in nodes], jnp.int32)

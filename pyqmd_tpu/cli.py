@@ -307,16 +307,25 @@ def interactive(sim: Simulation) -> None:
                 sim.physics_dt = float(args[0])
                 print(f"  physics dt: {sim.physics_dt:.6f}s")
             elif cmd == "accuracy":
-                sim.accuracy = float(args[0])
+                v = float(args[0])
+                if not 0.0 <= v < 2.0:
+                    # effective dt = physics_dt * (2 - accuracy): 2.0
+                    # would zero it and crash the substep scheduler.
+                    raise ValueError(f"accuracy must be in [0, 2), got {v}")
+                sim.accuracy = v
                 print(f"  accuracy: {sim.accuracy} (effective dt x{2.0 - sim.accuracy:.2f})")
             elif cmd == "substeps":
                 sim.max_substeps = int(args[0])
                 print(f"  max substeps: {sim.max_substeps}")
             elif cmd == "chain":
-                entries = sim.chain_entries()
+                # Same index>0 filter as the render panel: entry 0 is the
+                # initial-state record until the ring wraps past it, after
+                # which every surviving entry is a real decay (positional
+                # [1:] slicing would drop a real one).
+                entries = [e for e in sim.chain_entries() if e["index"] > 0]
                 if args:  # 'chain N' tails the last N entries (scroll analog)
                     entries = entries[-int(args[0]):]
-                for e in entries[1:] or entries:
+                for e in entries:
                     print(
                         f"  {e['index']}. {isotope_label(*e['parent'])} → "
                         f"{isotope_label(*e['child'])} ({e['symbol']}) "
@@ -399,7 +408,10 @@ def interactive(sim: Simulation) -> None:
                 print("  loaded:", sim.isotope)
             else:
                 print(f"  unknown command {cmd!r} — try 'help'")
-        except (IndexError, ValueError, KeyError) as e:
+        except (IndexError, ValueError, KeyError, RuntimeError,
+                ZeroDivisionError) as e:
+            # RuntimeError covers mode guards (force_decay / chain log on
+            # an ensemble); a REPL must report them, not die on them.
             print(f"  error: {e}")
 
 
@@ -410,6 +422,13 @@ def main(argv: list[str] | None = None) -> int:
         overrides = parse_overrides(args.overrides)
     except ValueError as e:
         parser.error(str(e))  # clean usage error, not a traceback
+    if args.frames is not None and args.frames < 1:
+        parser.error("--frames must be >= 1")
+    # The statistics modes build their own SimConfig; thread --set and
+    # --backend through so they are never silently ignored.
+    stats_overrides = dict(overrides)
+    if args.backend != "auto":
+        stats_overrides.setdefault("force_backend", args.backend)
     if args.platform:
         import jax
 
@@ -433,6 +452,7 @@ def main(argv: list[str] | None = None) -> int:
             frames=args.frames if args.frames is not None else 20,
             half_lives=args.half_lives,
             seed=args.seed,
+            overrides=stats_overrides,
         )
         with open(args.survival, "w") as f:
             f.write(res.to_csv())
@@ -463,6 +483,7 @@ def main(argv: list[str] | None = None) -> int:
                 frames=frames,
                 half_lives=args.half_lives,
                 seed=args.seed,
+                overrides=stats_overrides,
             )
             with open(args.populations, "w") as f:
                 f.write(chain_populations_csv(measured))

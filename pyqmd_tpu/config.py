@@ -126,6 +126,18 @@ class SimConfig:
             raise ValueError(f"unknown decay backend {self.decay_backend!r}")
         if self.integrator not in ("euler", "leapfrog"):
             raise ValueError(f"unknown integrator {self.integrator!r}")
+        if not self.physics_dt > 0.0:
+            raise ValueError(f"physics_dt must be > 0, got {self.physics_dt}")
+        if not 0.0 <= self.accuracy < 2.0:
+            # effective_dt() = physics_dt * (2 - accuracy) must stay > 0
+            # or the substep scheduler divides by zero.
+            raise ValueError(
+                f"accuracy must be in [0, 2), got {self.accuracy}"
+            )
+        if self.max_substeps < 1:
+            raise ValueError(
+                f"max_substeps must be >= 1, got {self.max_substeps}"
+            )
 
     @property
     def a(self) -> int:

@@ -230,15 +230,20 @@ def mixed_ensemble_init(
     Every species shares ``cfg.max_particles`` padding; the heaviest must
     fit. Sub-batches are initialized per species and concatenated.
     """
+    import dataclasses
+
     parts = []
     for i, (z, n, count) in enumerate(species):
-        sub_cfg = SimConfig.for_isotope(
-            z, n, pad_to=cfg.max_particles, force_backend=cfg.force_backend
-        )
-        if sub_cfg.max_particles != cfg.max_particles:
+        if z + n > cfg.max_particles:
             raise ValueError(
                 f"species ({z},{n}) A={z + n} exceeds max_particles="
                 f"{cfg.max_particles}"
             )
+        # Only (Z, N) varies per species: every other field of the
+        # caller's cfg (capacities, origin, force constants, ...) must
+        # carry through, both so the sub-states share the caller's array
+        # shapes (max_ejecta/max_chain_log size state leaves) and so
+        # physics overrides apply to the whole mixture.
+        sub_cfg = dataclasses.replace(cfg, z=z, n=n)
         parts.append(ensemble_init(sub_cfg, count, seed=seed + i * 1_000_003))
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)

@@ -76,7 +76,7 @@ def _resolve_once(pos, alive, u, cfg: SimConfig):
     return pos + jnp.where(alive[:, None], delta, 0.0)
 
 
-def _use_pallas(pos, cfg: SimConfig) -> bool:
+def _use_pallas(cfg: SimConfig) -> bool:
     # Any capacity works since r4: small nuclei pack G per 128-lane row,
     # others pad (kernels/forces_pallas._packing).
     return cfg.force_backend == "pallas"
@@ -88,7 +88,7 @@ def resolve_overlaps(pos, alive, key, cfg: SimConfig):
     p = pos.shape[-2]
     for i in range(cfg.overlap_iterations):
         u = _rand_u(jax.random.fold_in(key, i), p)
-        if _use_pallas(pos, cfg):
+        if _use_pallas(cfg):
             from pyqmd_tpu.kernels.overlap_pallas import overlap_step_pallas
 
             pos = overlap_step_pallas(pos, alive, u, cfg)

@@ -211,7 +211,7 @@ def _batched_overlap(pos, alive, keys, cfg: SimConfig, max_chunk: int = 1024):
     from pyqmd_tpu.core.overlap import _rand_u, _use_pallas
 
     p = pos.shape[-2]
-    if _use_pallas(pos, cfg):
+    if _use_pallas(cfg):
         from pyqmd_tpu.kernels.overlap_pallas import overlap_step_pallas
 
         for i in range(cfg.overlap_iterations):
@@ -247,6 +247,49 @@ def _batched_overlap(pos, alive, keys, cfg: SimConfig, max_chunk: int = 1024):
     return out.reshape(n * chunk, *pos.shape[1:])[:b]
 
 
+def _batched_frame_preamble(
+    states: NucleusState,
+    cfg: SimConfig,
+    time_scale,
+    frame_dt,
+    num_steps: int,
+    physics_dt,
+    raw_physics_dt,
+):
+    """Shared batched-frame preamble: clock advance, ``FrameDynamics``
+    and the per-nucleus PRNG split structure (base → 3-way split →
+    per-substep keys).
+
+    :func:`ensemble_step` and :func:`decay_ensemble_step` MUST both
+    derive their randomness through this one helper — the stats frame's
+    bitwise-identity guarantee (tests/test_batch_native.py) rests on the
+    two paths splitting identical key trees, and a hand-copied preamble
+    would silently desynchronize them on the next edit."""
+    time_scale = jnp.asarray(time_scale, jnp.float32)
+    frame_dt = jnp.asarray(frame_dt, jnp.float32)
+    if physics_dt is None:
+        physics_dt = cfg.effective_dt()
+    desired_dt = frame_dt * time_scale
+    states = states.replace(time_passed=states.time_passed + desired_dt)
+
+    dyn = FrameDynamics(
+        time_scale=time_scale,
+        substeps=jnp.asarray(float(num_steps), jnp.float32),
+        physics_dt=jnp.asarray(physics_dt, jnp.float32),
+        step_time=desired_dt / num_steps,
+        raw_physics_dt=(
+            None if raw_physics_dt is None
+            else jnp.asarray(raw_physics_dt, jnp.float32)
+        ),
+    )
+
+    base = jax.vmap(jax.random.wrap_key_data)(states.rng)
+    k3 = jax.vmap(lambda k: jax.random.split(k, 3))(base)  # (B, 3)
+    step_keys = jax.vmap(lambda k: jax.random.split(k, num_steps))(k3[:, 0])
+    step_keys = jnp.swapaxes(step_keys, 0, 1)  # (S, B) keys
+    return states, dyn, k3, step_keys
+
+
 def ensemble_step(
     states: NucleusState,
     cfg: SimConfig,
@@ -271,28 +314,10 @@ def ensemble_step(
     are summed on device so host readback is O(1) regardless of ensemble
     size.
     """
-    time_scale = jnp.asarray(time_scale, jnp.float32)
-    frame_dt = jnp.asarray(frame_dt, jnp.float32)
-    if physics_dt is None:
-        physics_dt = cfg.effective_dt()
-    desired_dt = frame_dt * time_scale
-    states = states.replace(time_passed=states.time_passed + desired_dt)
-
-    dyn = FrameDynamics(
-        time_scale=time_scale,
-        substeps=jnp.asarray(float(num_steps), jnp.float32),
-        physics_dt=jnp.asarray(physics_dt, jnp.float32),
-        step_time=desired_dt / num_steps,
-        raw_physics_dt=(
-            None if raw_physics_dt is None
-            else jnp.asarray(raw_physics_dt, jnp.float32)
-        ),
+    states, dyn, k3, step_keys = _batched_frame_preamble(
+        states, cfg, time_scale, frame_dt, num_steps, physics_dt,
+        raw_physics_dt,
     )
-
-    base = jax.vmap(jax.random.wrap_key_data)(states.rng)
-    k3 = jax.vmap(lambda k: jax.random.split(k, 3))(base)  # (B, 3)
-    step_keys = jax.vmap(lambda k: jax.random.split(k, num_steps))(k3[:, 0])
-    step_keys = jnp.swapaxes(step_keys, 0, 1)  # (S, B) keys
 
     fstep = force_step_fn or select_force_step(cfg)
 
@@ -344,28 +369,10 @@ def decay_ensemble_step(
     `analysis.chain_populations`) run orders of magnitude faster for
     heavy isotopes.
     """
-    time_scale = jnp.asarray(time_scale, jnp.float32)
-    frame_dt = jnp.asarray(frame_dt, jnp.float32)
-    if physics_dt is None:
-        physics_dt = cfg.effective_dt()
-    desired_dt = frame_dt * time_scale
-    states = states.replace(time_passed=states.time_passed + desired_dt)
-
-    dyn = FrameDynamics(
-        time_scale=time_scale,
-        substeps=jnp.asarray(float(num_steps), jnp.float32),
-        physics_dt=jnp.asarray(physics_dt, jnp.float32),
-        step_time=desired_dt / num_steps,
-        raw_physics_dt=(
-            None if raw_physics_dt is None
-            else jnp.asarray(raw_physics_dt, jnp.float32)
-        ),
+    states, dyn, k3, step_keys = _batched_frame_preamble(
+        states, cfg, time_scale, frame_dt, num_steps, physics_dt,
+        raw_physics_dt,
     )
-
-    base = jax.vmap(jax.random.wrap_key_data)(states.rng)
-    k3 = jax.vmap(lambda k: jax.random.split(k, 3))(base)  # (B, 3)
-    step_keys = jax.vmap(lambda k: jax.random.split(k, num_steps))(k3[:, 0])
-    step_keys = jnp.swapaxes(step_keys, 0, 1)  # (S, B) keys
 
     # The stats-only decay path never reads or writes the ejecta ring, so
     # the (B, E) ejecta leaves ride OUTSIDE the scan carry entirely (None
@@ -415,15 +422,17 @@ def decay_ensemble_step(
         # Narrow the integer carry leaves at the scan boundary (r5,
         # VERDICT item 5): the scan's HBM traffic is the carry width, and
         # Z < 128, N < 192, particle types < 6 and decay types < 8 all
-        # fit uint8 (decay counts fit uint16). The casts happen INSIDE
-        # the substep body, where XLA fuses them into the update — the
-        # compute still runs in int32, so trajectories stay bitwise
-        # identical; only the between-substep representation narrows
-        # (~424 → ~122 B/nucleus at pad_to=8 with the pos/vel/rng
-        # exclusion above).
+        # fit uint8. The casts happen INSIDE the substep body, where XLA
+        # fuses them into the update — the compute still runs in int32,
+        # so trajectories stay bitwise identical; only the
+        # between-substep representation narrows (~424 → ~138 B/nucleus
+        # at pad_to=8 with the pos/vel/rng exclusion above).
+        # decay_counts stays int32: per-nucleus counts are UNBOUNDED on
+        # self-looping chains (Tc-99m's γ branch re-enters (43,56) per
+        # the reference data, PARITY departure 8) and a uint16 carry
+        # would silently wrap at 65535 events on long statistics runs.
         narrow_to = {
             "z": jnp.uint8, "n": jnp.uint8,
-            "decay_counts": jnp.uint16,
             "chain_z0": jnp.uint8, "chain_n0": jnp.uint8,
             "chain_dtype": jnp.uint8, "chain_z1": jnp.uint8,
             "chain_n1": jnp.uint8,

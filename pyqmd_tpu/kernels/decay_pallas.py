@@ -222,6 +222,17 @@ def _decay_stats_batched_t(fields: dict, cfg: SimConfig, u_t, dyn_step_time,
     pad = (-b) % TILE_T
     tiles = (b + pad) // TILE_T
     bb = b + pad
+    # The frame path (transpose_state_for_decay) pre-pads the carry to a
+    # TILE_T multiple so pad == 0 here and the rp() calls below no-op:
+    # padding ~14 full-width arrays every substep inside the scan is real
+    # per-substep HBM traffic. Direct (test) callers may pass unpadded
+    # fields; only the fresh per-substep uniforms still need widening.
+    # Pad draws with 1.0: u_bern = 1.0 is never < p, so a padded lane
+    # can never decay or touch its chain ring.
+    if u_t.shape[1] != b:
+        u_t = jnp.pad(
+            u_t, ((0, 0), (0, b - u_t.shape[1])), constant_values=1.0
+        )
 
     # Nuclear-data row gathers (XLA): parent cell + both daughter
     # candidates, transposed to (16, B).
@@ -332,24 +343,37 @@ DECAY_T_FIELDS = (
 def transpose_state_for_decay(states) -> dict:
     """Batch-minor views of the state fields the decay kernel touches:
     scalars (1, B), everything else (k, B). One transpose per frame — the
-    substep scan carries these directly."""
+    substep scan carries these directly.
+
+    The batch axis is padded HERE, once, to a TILE_T multiple (zeros;
+    padded lanes can never decay — their draws are padded with 1.0 in
+    ``_decay_stats_batched_t``): padding inside the substep would copy
+    the whole carry every substep. ``untranspose_decay_fields`` clips
+    the padding back off."""
+    b = getattr(states, DECAY_T_FIELDS[0]).shape[0]
+    pad = (-b) % TILE_T
     out = {}
     for f in DECAY_T_FIELDS:
         a = getattr(states, f)
         if a.ndim == 1:
-            out[f] = a[None, :]
+            a = a[None, :]
         else:
-            out[f] = a.T
+            a = a.T
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+        out[f] = a
     out["alive"] = out["alive"].astype(jnp.int32)
     return out
 
 
 def untranspose_decay_fields(states, fields: dict):
-    """Write the kernel's batch-minor fields back into the state pytree."""
+    """Write the kernel's batch-minor fields back into the state pytree,
+    clipping off the batch padding ``transpose_state_for_decay`` added."""
     upd = {}
     for f in DECAY_T_FIELDS:
-        a = fields[f]
         orig = getattr(states, f)
+        b = orig.shape[0]
+        a = fields[f][:, :b]
         if orig.ndim == 1:
             upd[f] = a[0].astype(orig.dtype)
         else:

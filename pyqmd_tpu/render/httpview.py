@@ -123,10 +123,13 @@ class LiveViewServer:
         self.width = width or min(sim.view_width, 800)
         self.height = height or min(sim.view_height, 600)
         # Shared frame pump state: latest encoded frame + its sequence
-        # number + the monotonic time it was produced (see pump_frame).
+        # number + the monotonic time its production completed (see
+        # pump_frame). _producing covers the encode window where the
+        # lock is released.
         self._frame: bytes | None = None
         self._frame_seq = 0
         self._frame_t = 0.0
+        self._producing = False
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -188,13 +191,11 @@ class LiveViewServer:
                     f"multipart/x-mixed-replace; boundary={_BOUNDARY}",
                 )
                 self.end_headers()
-                budget = 1.0 / max(outer.fps, 0.1)
                 last_seq = -1
                 while not outer._closed:
-                    t0 = time.time()
-                    seq, png = outer.pump_frame()
-                    if seq != last_seq:  # another stream may have pumped
-                        last_seq = seq
+                    seq, png, due = outer.pump_frame()
+                    if png is not None and seq != last_seq:
+                        last_seq = seq  # write only genuinely new frames
                         self.wfile.write(
                             (f"--{_BOUNDARY}\r\nContent-Type: image/png\r\n"
                              f"Content-Length: {len(png)}\r\n\r\n").encode()
@@ -202,7 +203,10 @@ class LiveViewServer:
                         self.wfile.write(png)
                         self.wfile.write(b"\r\n")
                         self.wfile.flush()
-                    time.sleep(max(0.0, budget - (time.time() - t0)))
+                    # Sleep keyed to the pump's OWN schedule: a local
+                    # full-budget sleep would land production-time short
+                    # of the gate and skip every other frame (half fps).
+                    time.sleep(max(0.0, due - time.monotonic()) + 0.002)
 
         self._closed = False
         self.httpd = ThreadingHTTPServer((host, port), Handler)
@@ -219,31 +223,45 @@ class LiveViewServer:
             img = self.sim.render(self.width, self.height)
         return png_bytes(img)
 
-    def pump_frame(self) -> tuple[int, bytes]:
+    def pump_frame(self) -> tuple[int, bytes | None, float]:
         """Advance the simulation at most once per fps budget, whichever
-        stream asks first, and hand every caller the latest frame.
+        stream asks first, and hand every caller ``(seq, png, due)`` —
+        the latest frame, its sequence number, and the monotonic time the
+        next production is due (``png`` is None only while the very first
+        frame is still being produced by another stream).
 
         This is the one place the server steps the simulation: N
         concurrent /stream viewers share one cadence and one frame
         sequence instead of each stepping the shared ``Simulation``
         (which would advance simulated time N times faster and split the
-        frames between viewers)."""
+        frames between viewers). The budget gate keys on production
+        COMPLETION, so a slow frame (first-use compile, tunnel render)
+        never triggers catch-up stepping and slow production cannot be
+        multiplied by viewer count; the steady-state frame period is
+        budget + production time. PNG encoding happens OUTSIDE the lock —
+        /status and /control stay responsive while a frame compresses."""
         from pyqmd_tpu.render import png_bytes
 
         budget = 1.0 / max(self.fps, 0.1)
         with self.lock:
-            if (
-                self._frame is None
-                or time.monotonic() - self._frame_t >= budget
+            due = self._frame_t + budget
+            if self._producing or (
+                self._frame is not None and time.monotonic() < due
             ):
+                return self._frame_seq, self._frame, due
+            self._producing = True
+        try:
+            with self.lock:
                 self.sim.frame()
                 img = self.sim.render(self.width, self.height)
-                self._frame = png_bytes(img)
-                # Stamp COMPLETION time: a slow frame (first-use compile,
-                # busy host) must not trigger immediate catch-up stepping.
-                self._frame_t = time.monotonic()
+                self._frame_t = time.monotonic()  # closes the gate
+            png = png_bytes(img)  # outside the lock
+            with self.lock:
+                self._frame = png
                 self._frame_seq += 1
-            return self._frame_seq, self._frame
+                return self._frame_seq, self._frame, self._frame_t + budget
+        finally:
+            self._producing = False
 
     def status(self) -> dict:
         with self.lock:
@@ -261,6 +279,12 @@ class LiveViewServer:
         if do is not None and do not in _DO_ACTIONS:
             raise ValueError(
                 f"unknown action {do!r}; options: {sorted(_DO_ACTIONS)}"
+            )
+        if do == "decay" and getattr(self.sim, "batched", False):
+            # force_decay raises RuntimeError for ensembles; answer 400
+            # instead of letting it abort the connection.
+            raise ValueError(
+                "force decay requires a single-nucleus simulation"
             )
         if preset is not None and preset not in TIME_SCALE_PRESETS:
             raise KeyError(

@@ -34,6 +34,47 @@ from pyqmd_tpu.utils.profiling import StepTimer
 logger = logging.getLogger("pyqmd_tpu")
 
 
+@jax.jit
+def _status_pack(st):
+    """Pack every scalar :meth:`Simulation.status` reads into ONE f32
+    vector so the host fetches it in ONE readback. The per-field
+    ``int(st.z)`` / ``float(st.half_life)`` form costs ~10 separate
+    tunnel RPCs (~24 ms fixed each, render/interactive.py) — per rendered
+    frame, since the info panel reads status. Integer fields ride as
+    bitcast f32 words (exact for all values, no 2^24 float ceiling);
+    layout: [z, n, alive, ejecta, chain_cursor, decay_counts[8]] as int32
+    bits, then [half_life, time_passed, rms_radius, kinetic] as f32."""
+    import jax.numpy as jnp
+
+    ints = jnp.concatenate([
+        jnp.stack([
+            st.z, st.n,
+            st.alive_count().astype(jnp.int32),
+            jnp.sum(st.ej_alive).astype(jnp.int32),
+            st.chain_cursor,
+        ]),
+        st.decay_counts,
+    ])
+    floats = jnp.stack([
+        st.half_life, st.time_passed, st.rms_radius(), st.kinetic_energy(),
+    ]).astype(jnp.float32)
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(ints, jnp.float32), floats]
+    )
+
+
+@jax.jit
+def _status_pack_batched(st):
+    """Batched-status aggregate in one readback: [total_alive,
+    decay_counts summed over the ensemble] as one int32 vector."""
+    import jax.numpy as jnp
+
+    return jnp.concatenate([
+        jnp.sum(st.alive).astype(jnp.int32)[None],
+        jnp.sum(st.decay_counts, axis=0).astype(jnp.int32),
+    ])
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def _fit_frame_device(state, width, height, origin):
     """View-fitted full-frame render in ONE device program: the
@@ -215,6 +256,7 @@ class Simulation:
         else:
             self.state = init_state(self.cfg, seed=self.seed)
         self._chain_seen = 1  # skip the initial-state entry
+        self._decay_log.clear()  # the old nucleus's log lines aren't ours
         self.camera_target = [self.cfg.origin_x, self.cfg.origin_y]
         self.last_metrics = None
         self._inflight.clear()
@@ -458,13 +500,15 @@ class Simulation:
 
     # -- observability --------------------------------------------------------
 
-    def _drain_chain_log(self):
+    def _drain_chain_log(self, cursor: int | None = None):
         """Emit reference-style decay log lines (nuclear_sim.py:285) for new
         chain entries. Formats from :meth:`chain_entries`, which bulk-reads
         and caches the ring by cursor — so one render+drain cycle costs one
-        set of device transfers, not two."""
+        set of device transfers, not two. ``cursor`` passes an
+        already-fetched chain cursor through (status() reads it in its
+        packed readback) to skip the scalar fetch."""
         self._undrained_substeps = 0
-        entries = self.chain_entries()
+        entries = self.chain_entries(cursor=cursor)
         if not entries:
             return
         cursor = entries[-1]["index"] + 1
@@ -496,15 +540,25 @@ class Simulation:
             self._drain_chain_log()  # frames dispatch async; sync on access
         return list(self._decay_log)
 
-    def chain_entries(self):
+    def chain_entries(self, cursor: int | None = None):
         """Decoded chain-log entries, oldest first (the decay-chain panel's
         data source, rendering.py:248-380). Bulk device readback, cached by
         cursor: the ring is append-only, so an unchanged cursor means
         unchanged content — a render+drain cycle re-reads one scalar, not
         six arrays (per-element scalar reads would cost one tunnel RPC
-        each, ~384/frame)."""
+        each, ~384/frame). Callers that already fetched the cursor (the
+        packed status readback) pass it in to skip even that scalar."""
+        if self.batched:
+            # Per-member rings exist but a single merged log would
+            # interleave B independent chains meaninglessly; the panel
+            # and decay_log already branch on batched.
+            raise RuntimeError(
+                "chain log is single-nucleus mode only; ensemble members "
+                "decay independently (use analysis.chain_populations)"
+            )
         st = self.state
-        cursor = int(st.chain_cursor)
+        if cursor is None:
+            cursor = int(st.chain_cursor)
         if self._chain_cache is not None and self._chain_cache[0] == cursor:
             return self._chain_cache[1]
         cap = self.cfg.max_chain_log
@@ -530,31 +584,41 @@ class Simulation:
         return out
 
     def status(self) -> dict:
-        """Info-panel data (rendering.py:135-246 equivalent)."""
+        """Info-panel data (rendering.py:135-246 equivalent).
+
+        All device scalars arrive in ONE packed readback
+        (:func:`_status_pack`) — status runs per rendered frame (the info
+        panel) and per /status poll, and each separate scalar fetch is a
+        full tunnel RPC."""
         st = self.state
         if self.batched:
-            counts = np.asarray(st.decay_counts).sum(0)
+            agg = np.asarray(_status_pack_batched(st))
             return dict(
                 isotope=self.isotope,
                 ensemble=self.ensemble,
-                alive=int(np.asarray(st.alive).sum()),
-                decay_counts=counts.tolist(),
+                alive=int(agg[0]),
+                decay_counts=agg[1:9].tolist(),
                 time_scale=self.time_scale,
                 substeps=self.substeps_used,
                 fps=self.fps,
                 substeps_per_sec=self.substeps_per_sec,
             )
-        self._drain_chain_log()
+        v = np.asarray(_status_pack(st))
+        ints = v[:13].view(np.int32)
+        z, n = int(ints[0]), int(ints[1])
+        self._drain_chain_log(cursor=int(ints[4]))
         return dict(
-            isotope=self.isotope,
-            z=int(st.z),
-            n=int(st.n),
-            element=element_symbol(int(st.z)),
-            half_life=float(st.half_life),
-            alive=int(st.alive_count()),
-            ejecta=int(np.asarray(st.ej_alive).sum()),
-            decay_counts=np.asarray(st.decay_counts).tolist(),
-            time_passed=float(st.time_passed),
+            # isotope from the packed z/n (the property re-reads the
+            # device scalars — two more RPCs).
+            isotope=isotope_label(z, n),
+            z=z,
+            n=n,
+            element=element_symbol(z),
+            half_life=float(v[13]),
+            alive=int(ints[2]),
+            ejecta=int(ints[3]),
+            decay_counts=ints[5:13].tolist(),
+            time_passed=float(v[14]),
             time_scale=self.time_scale,
             substeps=self.substeps_used,
             physics_dt=self.physics_dt,
@@ -563,8 +627,8 @@ class Simulation:
             backend=self.cfg.force_backend,
             fps=self.fps,
             substeps_per_sec=self.substeps_per_sec,
-            rms_radius=float(st.rms_radius()),
-            kinetic_energy=float(st.kinetic_energy()),
+            rms_radius=float(v[15]),
+            kinetic_energy=float(v[16]),
         )
 
     # -- render & persistence -------------------------------------------------

@@ -37,6 +37,27 @@ def test_survival_deterministic():
     np.testing.assert_array_equal(a.survival, b.survival)
 
 
+def test_survival_all_survivors_reports_inf_not_crash():
+    """Tc-99m's tabulated branches both re-enter (43,56) (reference data
+    quirk, PARITY departure 8), so the survivor count never drops and the
+    endpoint survival stays 1.0 — the MLE fit must report inf, not divide
+    by -log(1.0) = -0.0."""
+    import math
+
+    res = survival_curve(43, 56, batch=32, frames=2)
+    assert res.survival[-1] == 1.0
+    assert math.isinf(res.fitted_half_life)
+
+
+def test_survival_rejects_bad_frames_and_plumbs_overrides():
+    with pytest.raises(ValueError):
+        survival_curve(6, 8, batch=16, frames=0)
+    # overrides reach the SimConfig (validated at construction): an
+    # impossible capacity proves the CLI --set surface is not ignored.
+    with pytest.raises(ValueError):
+        survival_curve(6, 8, batch=16, frames=2, overrides={"max_particles": 4})
+
+
 def test_chain_populations_flow():
     """A Rn-222 ensemble (3.8-day half-life, alpha chain) flows population
     into its daughters; totals conserved each frame."""

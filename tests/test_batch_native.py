@@ -88,3 +88,21 @@ def test_decay_only_frame_bitwise_isotope_trajectories():
         np.testing.assert_array_equal(
             np.asarray(getattr(full, fld)), np.asarray(getattr(fast, fld))
         )
+
+
+def test_decay_only_counts_survive_beyond_uint16():
+    """Per-nucleus decay counts are UNBOUNDED on self-looping chains
+    (Tc-99m's γ branch re-enters (43,56) per the reference data), so the
+    stats frame's narrowed scan carry must keep counts int32 — a uint16
+    carry silently wrapped at 65535 on long statistics runs."""
+    from pyqmd_tpu.core.step import make_decay_frame_fn
+
+    cfg = SimConfig.for_isotope(2, 2, pad_to=8)  # He-4: no new decays
+    states = ensemble_init(cfg, 8, seed=0)
+    states = states.replace(
+        decay_counts=states.decay_counts.at[:, :].set(70000)
+    )
+    fn = make_decay_frame_fn(cfg, 4)
+    states, m = fn(states, 1.0e6, 1.0)
+    assert (np.asarray(states.decay_counts) == 70000).all()
+    assert (np.asarray(m["decay_counts"]) == 70000).all()

@@ -120,6 +120,33 @@ def test_mixed_isotope_ensemble():
     assert decayed > 30
 
 
+def test_mixed_ensemble_preserves_caller_config():
+    """mixed_ensemble_init must size every species' state from the
+    CALLER'S config — a custom max_ejecta/origin used to be silently
+    replaced by for_isotope defaults, and the first frame traced with
+    the parent cfg then failed on the ejecta-ring shape mismatch."""
+    import dataclasses
+
+    from pyqmd_tpu.core.init import mixed_ensemble_init
+
+    base = SimConfig.for_isotope(92, 146, pad_to=8)
+    cfg = dataclasses.replace(
+        base, max_ejecta=base.max_ejecta * 2, origin_x=123.0, origin_y=45.0
+    )
+    states = mixed_ensemble_init(cfg, [(92, 146, 2), (6, 8, 3)], seed=0)
+    assert states.ej_type.shape == (5, cfg.max_ejecta)
+    com = np.asarray(states.center_of_mass())
+    assert np.allclose(com[:, 0], 123.0, atol=2.0)
+    assert np.allclose(com[:, 1], 45.0, atol=2.0)
+    # And the frame traced with the caller's cfg runs.
+    fn = make_frame_fn(cfg, 2, batched=True)
+    states, _ = fn(states, 1.0, 1 / 60)
+    # Oversized species still raise.
+    small = SimConfig.for_isotope(6, 8, pad_to=8)
+    with pytest.raises(ValueError):
+        mixed_ensemble_init(small, [(92, 146, 1)], seed=0)
+
+
 def test_u238_ensemble_reaches_pb206():
     """Population-level chain traversal: a U-238 ensemble run for ~20
     half-lives ends as stable Pb-206 (the 14-step chain walked

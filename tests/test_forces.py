@@ -194,6 +194,16 @@ def test_unknown_integrator_rejected():
         SimConfig(z=2, n=2, max_particles=8, integrator="rk9000")
 
 
+def test_degenerate_schedule_values_rejected():
+    """accuracy >= 2 zeroes effective_dt (divide-by-zero in the substep
+    scheduler); physics_dt <= 0 and max_substeps < 1 are equally
+    degenerate — all must fail at configuration time, not first frame."""
+    for kw in ({"accuracy": 2.0}, {"accuracy": -0.1},
+               {"physics_dt": 0.0}, {"max_substeps": 0}):
+        with pytest.raises(ValueError):
+            SimConfig(z=2, n=2, max_particles=8, **kw)
+
+
 def test_force_step_differentiable():
     """The jnp force path is grad-safe (pure functional, no data-dependent
     Python control flow): the adjoint through 5 fused substeps is finite

@@ -121,11 +121,47 @@ def test_pump_frame_shares_one_stepping_cadence():
     srv = LiveViewServer(sim, port=0, fps=10, width=80, height=60)
     srv.start_background()
     try:
-        seq1, png1 = srv.pump_frame()
-        seq2, png2 = srv.pump_frame()  # immediate second viewer
+        seq1, png1, due1 = srv.pump_frame()
+        seq2, png2, _ = srv.pump_frame()  # immediate second viewer
         assert seq2 == seq1 and png2 is png1
-        time.sleep(1.5 / 10)  # past the fps budget
-        seq3, _ = srv.pump_frame()
+        time.sleep(max(0.0, due1 - time.monotonic()) + 0.01)
+        seq3, _, _ = srv.pump_frame()
         assert seq3 == seq1 + 1
+    finally:
+        srv.close()
+
+
+def test_pump_cadence_not_halved_by_due_keyed_polls():
+    """A viewer sleeping until the pump's returned due time must get a
+    NEW frame on every poll — the old loop slept a full local budget
+    keyed to its own start time, landing production-time short of the
+    completion-stamped gate and skipping every other frame (half fps)."""
+    sim = Simulation(z=6, n=8, pad_to=16)
+    srv = LiveViewServer(sim, port=0, fps=20, width=80, height=60)
+    srv.start_background()
+    try:
+        seq, _, due = srv.pump_frame()  # cold frame (compiles)
+        for _ in range(5):
+            time.sleep(max(0.0, due - time.monotonic()) + 0.002)
+            seq2, png, due = srv.pump_frame()
+            assert png is not None and seq2 == seq + 1
+            seq = seq2
+    finally:
+        srv.close()
+
+
+def test_ensemble_force_decay_answers_400():
+    """/control?do=decay on an ensemble view must answer 400 (force_decay
+    is single-nucleus only), not abort the connection with a traceback."""
+    sim = Simulation(z=6, n=8, pad_to=16, ensemble=4)
+    srv = LiveViewServer(sim, port=0, fps=10, width=80, height=60)
+    srv.start_background()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(srv, "/control?do=decay")
+        assert e.value.code == 400
+        # Batched /status still serves (aggregate branch).
+        st = json.loads(_get(srv, "/status"))
+        assert st["ensemble"] == 4 and st["alive"] > 0
     finally:
         srv.close()

@@ -285,6 +285,60 @@ def test_cli_interactive_all_commands(tmp_path, capsys, monkeypatch):
     assert "loaded:" in out
 
 
+def test_cli_interactive_ensemble_mode_survives_bad_commands(capsys, monkeypatch):
+    """Single-nucleus-only commands (decay, chain) and out-of-range values
+    (accuracy 2) must print '  error: ...' in the REPL, not crash it."""
+    import io
+
+    commands = "decay\nchain\naccuracy 2\nstatus\nquit\n"
+    monkeypatch.setattr("sys.stdin", io.StringIO(commands))
+    rc = cli_main(["--isotope", "C-14", "--ensemble", "4", "-i", "-q",
+                   "--backend", "jnp"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("error:") == 3  # decay, chain, accuracy all rejected
+    assert "C-14 x4" in out  # status still works afterwards
+
+
+def test_status_packed_readback_matches_state_fields():
+    """status() fetches its device scalars in ONE packed readback
+    (bitcast int words + f32 floats); values must match per-field reads."""
+    import numpy as np
+
+    from pyqmd_tpu.sim import Simulation
+
+    sim = Simulation(z=6, n=8, pad_to=16)
+    sim.set_time_scale(3.15576e10)
+    for _ in range(3):
+        sim.frame()
+    s = sim.status()
+    st = sim.state
+    assert s["z"] == int(st.z) and s["n"] == int(st.n)
+    assert s["isotope"].split("-")[0] in ("C", "N")
+    assert s["alive"] == int(st.alive_count())
+    assert s["ejecta"] == int(np.asarray(st.ej_alive).sum())
+    assert s["decay_counts"] == np.asarray(st.decay_counts).tolist()
+    assert s["half_life"] == float(np.float32(st.half_life))
+    assert s["time_passed"] == float(np.float32(st.time_passed))
+    np.testing.assert_allclose(s["rms_radius"], float(st.rms_radius()), rtol=1e-5)
+    np.testing.assert_allclose(
+        s["kinetic_energy"], float(st.kinetic_energy()), rtol=1e-5
+    )
+
+
+def test_reset_clears_decay_log():
+    """Switching isotopes is a full session reset (nuclear_sim.py:92-116):
+    the previous nucleus's decay-log lines must not survive into the new
+    one's log."""
+    from pyqmd_tpu.sim import Simulation
+
+    sim = Simulation(z=6, n=8, pad_to=16)
+    sim.force_decay()
+    assert len(sim.decay_log) == 1
+    sim.reset(z=92, n=146)
+    assert sim.decay_log == []
+
+
 def test_checkpoint_orbax_roundtrip(tmp_path):
     from pyqmd_tpu.config import SimConfig
     from pyqmd_tpu.core.init import init_state
