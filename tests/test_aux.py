@@ -93,10 +93,17 @@ def test_bench_device_reachable_happy_path():
     import sys
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if root not in sys.path:
+    added = root not in sys.path
+    if added:
         sys.path.insert(0, root)
-    import bench
+    try:
+        import bench
 
-    t0 = time.perf_counter()
-    assert bench._device_reachable(total_budget_s=30, probe_timeout_s=10)
-    assert time.perf_counter() - t0 < 10
+        t0 = time.perf_counter()
+        assert bench._device_reachable(total_budget_s=60, probe_timeout_s=30)
+        # Bounded-promptness claim, with slack for a loaded host: the
+        # point is "no hang", not a latency SLO.
+        assert time.perf_counter() - t0 < 30
+    finally:
+        if added:
+            sys.path.remove(root)

@@ -304,10 +304,16 @@ def test_every_db_isotope_decay_walk_invariants():
             if d in expect_delta and (zz - prev[0], nn - prev[1]) != expect_delta[d]:
                 # A reference-inherited inconsistent chain row fired (the
                 # tabled daughter's arithmetic disagrees with the decay
-                # type — Tc-99m / Po-218 / Bi-214 rare branches, see
-                # PARITY.md departure #8). The particle adjustment follows
-                # the type while the identity follows the table, exactly
-                # as the reference behaves; stop validating this walk.
+                # type — see PARITY.md departure #8). The particle
+                # adjustment follows the type while the identity follows
+                # the table, exactly as the reference behaves; stop
+                # validating this walk — but ONLY for the documented quirk
+                # parents, so a future DB edit that breaks a main branch
+                # fails loudly instead of vacuously ending the walk.
+                assert prev in {(84, 134), (83, 131), (43, 56)}, (
+                    f"undocumented chain/type mismatch at {prev}: "
+                    f"type {d} produced ({zz}, {nn})"
+                )
                 break
             alive = np.asarray(st.alive)
             ptype = np.asarray(st.ptype)

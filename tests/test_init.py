@@ -21,8 +21,10 @@ def test_placement_order_counts(z, n):
     assert int(is_proton.sum()) == z
     assert int((~is_proton).sum()) == n
     assert shell_idx.min() >= 0 and shell_idx.max() <= 6
-    # Shells fill outward: indices are non-decreasing within the pair phase.
-    assert np.all(np.diff(shell_idx) >= 0) or z != n  # strict only for pairs
+    # Shells fill outward: the pair phase advances monotonically and every
+    # remainder lands on the single (clamped) shell where pairing stopped,
+    # so the whole sequence is non-decreasing for EVERY (z, n).
+    assert np.all(np.diff(shell_idx) >= 0)
 
 
 def test_placement_order_pairs_alternate():

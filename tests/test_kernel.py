@@ -60,6 +60,11 @@ def test_kernel_batched_and_tile_padding():
         np.testing.assert_allclose(
             np.asarray(pp[i]), np.asarray(ref[i][0]), rtol=1e-4, atol=1e-4
         )
+        # Velocities too: padded-tile garbage would corrupt v before it
+        # shows in x after a single dt step.
+        np.testing.assert_allclose(
+            np.asarray(pv[i]), np.asarray(ref[i][1]), rtol=1e-4, atol=1e-4
+        )
 
 
 def test_kernel_dense_cluster():
@@ -279,25 +284,49 @@ def test_decay_stats_kernel_matches_jnp():
         assert float(rel.max()) < 1e-5, f
 
 
-def test_decay_frame_kernel_backend_matches_jnp_backend():
-    """decay_ensemble_step with decay_backend='pallas' (interpret via CPU
-    escape: forced) equals the jnp backend frame on the isotope fields."""
+def test_decay_frame_kernel_backend_matches_jnp_backend(monkeypatch):
+    """The WHOLE decay frame with decay_backend='pallas' (kernel forced
+    into interpret mode for CPU) walks the same isotope trajectories as
+    the jnp-backend frame — the frame-level twin of the substep-level
+    equivalence above (transpose/pad/untranspose plumbing included)."""
     import dataclasses
+    import functools
 
     from pyqmd_tpu.core.init import ensemble_init
     from pyqmd_tpu.core.step import decay_ensemble_step
+    from pyqmd_tpu.kernels import decay_pallas as dp
 
-    # interpret-mode kernels can't run inside the jitted frame on CPU, so
-    # pin the kernel path at the decay_stats_step level instead (covered
-    # above); here just pin that the jnp-backend frame is the default off
-    # TPU even with decay_backend='auto'.
+    orig = dp.decay_stats_substep_t
+    monkeypatch.setattr(
+        dp, "decay_stats_substep_t", functools.partial(orig, interpret=True)
+    )
     cfg = SimConfig.for_isotope(6, 8, pad_to=8)
-    assert cfg.decay_backend == "auto"
-    states = ensemble_init(cfg, 16, seed=0)
-    out, m = jax.jit(
-        lambda s: decay_ensemble_step(s, cfg, 1.0, 1.0 / 60.0, 2)
+    assert cfg.decay_backend == "auto"  # auto resolves to jnp (measured)
+    cfg_k = dataclasses.replace(cfg, decay_backend="pallas")
+    states = ensemble_init(cfg, 64, seed=0)
+    # C-14 at ~1000 years/frame: decays actually happen in 3 frames.
+    ts = 3.15576e10
+    ref, mr = jax.jit(
+        lambda s: decay_ensemble_step(s, cfg, ts, 1.0 / 60.0, 3)
     )(states)
-    assert int(np.asarray(m["total_alive"]).sum()) > 0
+    ker, mk = jax.jit(
+        lambda s: decay_ensemble_step(s, cfg_k, ts, 1.0 / 60.0, 3)
+    )(states)
+    assert int(np.asarray(mr["total_decay_counts"]).sum()) > 0
+    for f in ("z", "n", "decay_counts", "chain_cursor", "chain_z0",
+              "chain_n0", "chain_dtype", "chain_z1", "chain_n1", "alive",
+              "ptype", "rng"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, f)), np.asarray(getattr(ker, f)),
+            err_msg=f,
+        )
+    for f in ("half_life", "last_decay_time", "chain_time"):
+        a = np.asarray(getattr(ref, f))
+        c = np.asarray(getattr(ker, f))
+        both_inf = np.isinf(a) & np.isinf(c)
+        rel = np.abs(a - c) / np.maximum(np.abs(a), 1e-30)
+        rel[both_inf] = 0.0
+        assert float(rel.max()) < 1e-5, f
 
 
 def test_packing_and_tile_rows_math():

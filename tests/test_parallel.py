@@ -218,8 +218,12 @@ def test_sharded_checkpoint_roundtrip(eight_devices, tmp_path):
     restored, cfg2 = load_checkpoint_orbax(path, sharding_state=states)
     assert cfg2 == cfg
     np.testing.assert_array_equal(np.asarray(restored.pos), np.asarray(states.pos))
-    # Restored state keeps the batch sharding over the data axis.
-    restored = shard_ensemble(restored, mesh)
+    # Restored state KEEPS the batch sharding over the data axis — assert
+    # it rather than re-sharding (a manual shard_ensemble here would
+    # silently repair a restore that dropped the sharding).
+    assert restored.pos.sharding.is_equivalent_to(
+        states.pos.sharding, states.pos.ndim
+    ), f"restore dropped sharding: {restored.pos.sharding}"
     cont_a, _ = fn(states, 1.0, 1 / 60.0)
     cont_b, _ = fn(restored, 1.0, 1 / 60.0)
     np.testing.assert_array_equal(np.asarray(cont_a.pos), np.asarray(cont_b.pos))
