@@ -230,6 +230,19 @@ def test_overlap_kernel_batched():
 # --- fused stats-only decay kernel (kernels/decay_pallas.py) ----------------
 
 
+def _assert_float_fields_close(ref, ker, tol=1e-5):
+    """Relative comparison where inf == inf counts as equal (stable
+    half-lives); an inf-vs-finite mismatch still fails (rel = inf)."""
+    for f in ("half_life", "last_decay_time", "chain_time"):
+        a = np.asarray(getattr(ref, f))
+        c = np.asarray(getattr(ker, f))
+        both_inf = np.isinf(a) & np.isinf(c)
+        with np.errstate(invalid="ignore"):  # inf - inf, zeroed below
+            rel = np.abs(a - c) / np.maximum(np.abs(a), 1e-30)
+        rel[both_inf] = 0.0
+        assert float(rel.max()) < tol, f
+
+
 def test_decay_stats_kernel_matches_jnp():
     """The fused decay kernel walks the exact trajectories of the vmapped
     stats-only jnp path: integer fields bitwise, float records to
@@ -275,13 +288,7 @@ def test_decay_stats_kernel_matches_jnp():
         np.testing.assert_array_equal(
             np.asarray(getattr(ref, f)), np.asarray(getattr(ker, f)), err_msg=f
         )
-    for f in ("half_life", "last_decay_time", "chain_time"):
-        a = np.asarray(getattr(ref, f))
-        c = np.asarray(getattr(ker, f))
-        both_inf = np.isinf(a) & np.isinf(c)
-        rel = np.abs(a - c) / np.maximum(np.abs(a), 1e-30)
-        rel[both_inf] = 0.0
-        assert float(rel.max()) < 1e-5, f
+    _assert_float_fields_close(ref, ker)
 
 
 def test_decay_frame_kernel_backend_matches_jnp_backend(monkeypatch):
@@ -320,13 +327,7 @@ def test_decay_frame_kernel_backend_matches_jnp_backend(monkeypatch):
             np.asarray(getattr(ref, f)), np.asarray(getattr(ker, f)),
             err_msg=f,
         )
-    for f in ("half_life", "last_decay_time", "chain_time"):
-        a = np.asarray(getattr(ref, f))
-        c = np.asarray(getattr(ker, f))
-        both_inf = np.isinf(a) & np.isinf(c)
-        rel = np.abs(a - c) / np.maximum(np.abs(a), 1e-30)
-        rel[both_inf] = 0.0
-        assert float(rel.max()) < 1e-5, f
+    _assert_float_fields_close(ref, ker)
 
 
 def test_packing_and_tile_rows_math():
